@@ -1,0 +1,50 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Mirrors SURVEY.md §4's recommendation: multi-chip sharding is validated
+single-process via XLA's host-platform device-count override, the same way
+the reference validates CUDA kernels against CPU gold without needing a
+farm of GPUs.
+
+Env vars MUST be set before jax is imported anywhere.
+"""
+
+import os
+
+# Force CPU: the ambient environment pins JAX_PLATFORMS=axon (the TPU
+# tunnel) and sitecustomize.py imports jax before conftest runs, so the
+# env var alone is not enough — jax.config must be updated too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_threefry_partitionable", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session")
+def checker_image():
+    """Synthetic 128x160 image with corners, gradients and texture."""
+    rng = np.random.default_rng(0)
+    h, w = 128, 160
+    img = np.zeros((h, w), np.float32)
+    # checkerboard block
+    yy, xx = np.mgrid[0:h, 0:w]
+    img += 120.0 * (((yy // 16) + (xx // 16)) % 2)
+    # smooth gradient
+    img += 40.0 * (xx / w)
+    # random texture
+    img += rng.normal(0, 10.0, (h, w)).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.float32)
