@@ -1,0 +1,125 @@
+"""FAST segment-test corner detection, TPU-native.
+
+The reference implements FAST three ways: a SIMD CPU path
+(features2d/src/fast.cpp:56-289 `FAST_t<16>` + fast_score.cpp
+`cornerScore`), and a one-thread-per-pixel CUDA kernel with atomic
+keypoint compaction (cudafeatures2d/src/cuda/fast.cu:219 `calcKeypoints`,
+:318 `nonmaxSuppression`).
+
+TPU-native design: the whole image is processed as 16 shifted copies
+(the Bresenham circle taps) — pure VPU elementwise work that XLA fuses
+into one pass. Instead of computing a boolean segment test and a separate
+score, we compute only the *score*
+
+    V(p) = max( max_s min_{j<9} (tap_{s+j} - p),
+                max_s min_{9<j} (p - tap_{s+j}) )
+
+(the max threshold at which p still passes the test, identical in spirit
+to `cornerScore<16>`, fast_score.cpp:50); the corner mask is then simply
+``V > threshold``. Circular window minima are computed with an
+O(log n)-step shift-and-min tree. Keypoint "compaction" (the CUDA atomic
+counter) is replaced by masked `lax.top_k` — static shapes, no atomics.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from opencv_tpu.core import imgproc
+from opencv_tpu.core.types import KeyPoints, masked_top_k
+
+# Bresenham circle of radius 3, 16 points, clockwise from 12 o'clock.
+# (dx, dy) pairs; the standard FAST-16 test ring.
+CIRCLE16 = (
+    (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
+    (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
+)
+
+
+def _circular_window_min(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    """min over a length-n circular window along axis 0, for each start.
+
+    out[i] = min(x[i], x[i+1], ..., x[i+n-1])  (indices mod len).
+    Log-depth shift-and-min tree: w(a+b)[i] = min(w(a)[i], w(b)[i+a]).
+    """
+    have = {1: x}
+
+    def get(k: int) -> jnp.ndarray:
+        if k in have:
+            return have[k]
+        half = 1 << (k.bit_length() - 1)
+        if half == k:
+            h = get(k // 2)
+            have[k] = jnp.minimum(h, jnp.roll(h, -(k // 2), axis=0))
+        else:
+            have[k] = jnp.minimum(get(half), jnp.roll(get(k - half), -half, axis=0))
+        return have[k]
+
+    return get(n)
+
+
+def fast_score(img: jnp.ndarray, arc_length: int = 9) -> jnp.ndarray:
+    """Per-pixel FAST corner score V (see module docstring). f32 [H, W].
+
+    Pixels within 3 px of the border score -inf (no full circle).
+    """
+    img = img.astype(jnp.float32)
+    neg = jnp.float32(-1e9)
+    taps = jnp.stack(
+        [imgproc.shift2d(img, dy, dx, fill=0.0) for (dx, dy) in CIRCLE16], axis=0
+    )  # [16, H, W]
+    diff_bright = taps - img[None]  # tap - center
+    diff_dark = -diff_bright  # center - tap
+    vb = jnp.max(_circular_window_min(diff_bright, arc_length), axis=0)
+    vd = jnp.max(_circular_window_min(diff_dark, arc_length), axis=0)
+    score = jnp.maximum(vb, vd)
+    # invalidate the 3-px frame where circle taps fall outside the image
+    h, w = img.shape
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return jnp.where(inside, score, neg)
+
+
+def fast_detect(
+    img: jnp.ndarray,
+    max_keypoints: int,
+    threshold: float = 20.0,
+    nonmax_suppression: bool = True,
+    arc_length: int = 9,
+    border: int = 3,
+) -> KeyPoints:
+    """FAST keypoints (analog of cv::FAST, features2d/src/fast.cpp:492).
+
+    Returns a fixed-capacity KeyPoints with the `max_keypoints` strongest
+    corners (score-sorted, the TPU replacement for dynamic compaction).
+    `border`: minimum distance from the image edge (>= 3).
+    """
+    h, w = img.shape
+    score = fast_score(img, arc_length)
+    corner = score > threshold
+    if nonmax_suppression:
+        nms_input = jnp.where(corner, score, -jnp.inf)
+        corner &= imgproc.nms_2d(nms_input)
+    if border > 3:
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        corner &= (
+            (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+        )
+    flat_score = score.reshape(-1)
+    flat_valid = corner.reshape(-1)
+    idx, keep = masked_top_k(flat_score, flat_valid, max_keypoints)
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    return KeyPoints(
+        xy=jnp.stack([xs, ys], axis=-1),
+        response=jnp.where(keep, flat_score[idx], -jnp.inf),
+        angle=jnp.zeros((max_keypoints,), jnp.float32),
+        level=jnp.zeros((max_keypoints,), jnp.int32),
+        size=jnp.full((max_keypoints,), 7.0, jnp.float32),
+        valid=keep,
+    )

@@ -1,0 +1,112 @@
+"""Brute-force binary descriptor matching on the MXU.
+
+The reference matches descriptors with popcount kernels: CPU
+`batchDistance` (core/src/batch_distance.cpp) driven by
+`BFMatcher::knnMatchImpl` (features2d/src/matchers.cpp:749-886), and CUDA
+warp-reduction kernels with shared-memory query caching
+(cudafeatures2d/src/cuda/bf_knnmatch.cu).
+
+TPU-native design: Hamming distance between 256-bit descriptors becomes a
+*matmul*. Descriptors are expanded to ±1 vectors; for a, b ∈ {−1,+1}^256,
+    a·b = 256 − 2·hamming(a, b)   ⇒   hamming = (256 − a·b) / 2.
+A [N,256]x[256,M] bf16 matmul runs on the 128x128 systolic array at
+speed-of-light — the popcount loop becomes pure MXU work (±1 and sums
+≤ 256 are exact in bf16 inputs with f32 accumulation). k-NN selection is
+`lax.top_k` (replaces the warp-level findBestMatch reductions).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from opencv_tpu.core.config import MatchConfig
+from opencv_tpu.core.types import Matches
+
+DESC_BITS = 256
+
+
+def unpack_bits(desc: jnp.ndarray) -> jnp.ndarray:
+    """uint32 [N, 8] packed descriptors -> bool [N, 256]."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, None, :]
+    bits = (desc[:, :, None] >> shifts) & jnp.uint32(1)
+    return bits.reshape(desc.shape[0], -1).astype(bool)
+
+
+def signed_descriptors(desc: jnp.ndarray) -> jnp.ndarray:
+    """uint32 [N, 8] -> ±1 bf16 [N, 256] (MXU operand form)."""
+    bits = unpack_bits(desc)
+    return jnp.where(bits, 1.0, -1.0).astype(jnp.bfloat16)
+
+
+def hamming_matrix(
+    query: jnp.ndarray, train: jnp.ndarray,
+    query_valid: jnp.ndarray | None = None,
+    train_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Pairwise Hamming distances f32 [Nq, Nt] via the ±1 matmul identity.
+
+    Invalid rows/cols get distance BIG (=2*DESC_BITS) so they never win a
+    top-k — the mask analog of the reference's match masks
+    (matchers.cpp:749 `knnMatchImpl` masks).
+    """
+    q = signed_descriptors(query)
+    t = signed_descriptors(train)
+    dot = jnp.dot(q, t.T, preferred_element_type=jnp.float32)
+    dist = (DESC_BITS - dot) * 0.5
+    big = jnp.float32(2 * DESC_BITS)
+    if query_valid is not None:
+        dist = jnp.where(query_valid[:, None], dist, big)
+    if train_valid is not None:
+        dist = jnp.where(train_valid[None, :], dist, big)
+    return dist
+
+
+def knn_match(
+    query: jnp.ndarray, train: jnp.ndarray,
+    query_valid: jnp.ndarray | None = None,
+    train_valid: jnp.ndarray | None = None,
+    config: MatchConfig = MatchConfig(),
+) -> Matches:
+    """2-NN match + Lowe ratio test + optional cross-check.
+
+    Analog of BFMatcher::knnMatch(k=2) followed by the standard ratio
+    filter (the reference's stitching matcher uses the same recipe,
+    stitching/src/matchers.cpp `BestOf2NearestMatcher`), with cross-check
+    as in BFMatcher(crossCheck=true) (features2d/src/matchers.cpp:521).
+    Returns one row per query descriptor.
+    """
+    nq = query.shape[0]
+    dist = hamming_matrix(query, train, query_valid, train_valid)  # [Nq, Nt]
+    big = jnp.float32(2 * DESC_BITS)
+
+    neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)  # [Nq, 2]
+    d1 = -neg_top2[:, 0]
+    d2 = -neg_top2[:, 1]
+    best = idx_top2[:, 0]
+
+    ok = d1 <= config.max_distance
+    ok &= d1 < config.ratio * d2
+    if query_valid is not None:
+        ok &= query_valid
+    if config.cross_check:
+        # train j's best query must be this query
+        best_q_for_t = jnp.argmin(dist, axis=0)  # [Nt]
+        ok &= best_q_for_t[best] == jnp.arange(nq)
+    return Matches(
+        query_idx=jnp.arange(nq, dtype=jnp.int32),
+        train_idx=best.astype(jnp.int32),
+        distance=d1,
+        valid=ok,
+    )
+
+
+def radius_match_mask(
+    query: jnp.ndarray, train: jnp.ndarray, max_distance: float,
+    query_valid: jnp.ndarray | None = None,
+    train_valid: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Boolean [Nq, Nt]: pairs within `max_distance` Hamming (analog of
+    DescriptorMatcher::radiusMatch, matchers.cpp:900). Callers reduce the
+    mask themselves — on TPU the full matrix is cheaper than compaction."""
+    return hamming_matrix(query, train, query_valid, train_valid) <= max_distance

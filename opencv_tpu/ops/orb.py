@@ -1,0 +1,214 @@
+"""ORB: oriented FAST + rotated BRIEF over a scale pyramid, TPU-native.
+
+Reference pipeline (features2d/src/orb.cpp:965-1204 `detectAndCompute` and
+the CUDA variant cudafeatures2d/src/orb.cpp:404-660): per-level FAST →
+retain-best cull → Harris rescoring → intensity-centroid orientation →
+7x7 σ=2 Gaussian blur → rotated 256-pair binary descriptor.
+
+TPU-native re-design decisions:
+- levels unroll at trace time (static shapes per level, SURVEY.md §7.1);
+- dynamic keypoint vectors → per-level static budgets + masked top-k
+  (replaces both `KeyPointsFilter::retainBest`, features2d/src/keypoint.cpp,
+  and the thrust-sort cull, cudafeatures2d/src/cuda/orb.cu:62-89);
+- per-keypoint work (orientation, descriptors) is ONE patch gather per
+  keypoint followed by dense vectorized arithmetic — the analog of the
+  one-CUDA-block-per-keypoint kernels (cuda/orb.cu:166-414) is a vmapped
+  dynamic_slice;
+- the sampling pattern is a fixed-seed BRIEF pattern generated at import
+  (the reference ships a learned table, orb.cpp:375-633; we deliberately
+  generate our own — this engine defines its own descriptor, matched
+  end-to-end by its own matcher).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from opencv_tpu.core import imgproc, pyramid as pyr_mod
+from opencv_tpu.core.config import ORBConfig
+from opencv_tpu.core.types import KeyPoints, masked_top_k
+from opencv_tpu.ops import fast as fast_mod
+
+HALF_PATCH = 15  # orientation patch radius (reference: orb.cpp ICAngles)
+PATTERN_BITS = 256
+# BRIEF taps live in [-13, 13]; rotation expands the support by sqrt(2),
+# so patches of radius 20 cover every rotated tap.
+PATTERN_RADIUS = 13
+PATCH_RADIUS = 20
+
+
+@functools.cache
+def brief_pattern() -> np.ndarray:
+    """[256, 4] int32 (x1, y1, x2, y2) — fixed-seed Gaussian BRIEF pattern.
+
+    BRIEF-paper sampling (G II): taps ~ N(0, (patch/5)^2) clipped to the
+    pattern radius, deterministic seed (parity with the reference's fixed
+    RNG seeds, orb.cpp:350,638).
+    """
+    rng = np.random.default_rng(8823)
+    sigma = (2 * PATTERN_RADIUS + 1) / 5.0
+    pts = rng.normal(0.0, sigma, size=(PATTERN_BITS, 4))
+    pts = np.clip(np.round(pts), -PATTERN_RADIUS, PATTERN_RADIUS).astype(np.int32)
+    # avoid degenerate identical pairs
+    same = (pts[:, 0] == pts[:, 2]) & (pts[:, 1] == pts[:, 3])
+    pts[same, 2] = np.clip(pts[same, 2] + 1, -PATTERN_RADIUS, PATTERN_RADIUS)
+    pts[same, 3] = np.clip(pts[same, 3] - 1, -PATTERN_RADIUS, PATTERN_RADIUS)
+    return pts
+
+
+def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Gather (2r+1)^2 patches centred at integer keypoint positions.
+
+    img [H, W]; xy [N, 2] float (x, y) — rounded to ints. Starts are
+    clamped so out-of-range (invalid/padding) keypoints read a safe window.
+    Returns [N, 2r+1, 2r+1].
+    """
+    h, w = img.shape
+    size = 2 * radius + 1
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), radius, w - radius - 1)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), radius, h - radius - 1)
+
+    def one(cx_i, cy_i):
+        return jax.lax.dynamic_slice(img, (cy_i - radius, cx_i - radius), (size, size))
+
+    return jax.vmap(one)(cx, cy)
+
+
+@functools.cache
+def _ic_weights(radius: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    size = 2 * radius + 1
+    v, u = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    mask = (u * u + v * v) <= radius * radius
+    return (
+        (u * mask).astype(np.float32),
+        (v * mask).astype(np.float32),
+        mask.astype(np.float32),
+    )
+
+
+def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid orientation per keypoint, radians in (-pi, pi].
+
+    Analog of ICAngles (orb.cpp:176-210) / the IC_Angle CUDA kernel
+    (cuda/orb.cu:166-230): angle = atan2(m01, m10) over a circular patch
+    of radius 15.
+    """
+    wu, wv, _ = _ic_weights(HALF_PATCH)
+    patches = extract_patches(img, xy, HALF_PATCH)  # [N, 31, 31]
+    m10 = jnp.sum(patches * jnp.asarray(wu), axis=(1, 2))
+    m01 = jnp.sum(patches * jnp.asarray(wv), axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def brief_descriptors(
+    blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
+) -> jnp.ndarray:
+    """Rotated 256-bit BRIEF descriptors, packed as uint32 [N, 8].
+
+    Analog of computeOrbDescriptors WTA_K=2 (orb.cpp:214-345): each tap
+    position is rotated by the keypoint angle, rounded to the nearest
+    pixel of the blurred level image, and pairs are compared.
+    """
+    pat = jnp.asarray(brief_pattern())  # [256, 4]
+    px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)  # [512]
+    py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
+    cos = jnp.cos(angle)[:, None]  # [N, 1]
+    sin = jnp.sin(angle)[:, None]
+    # rotate taps (reference rotation convention, orb.cpp GET_VALUE)
+    rx = jnp.round(px[None] * cos - py[None] * sin).astype(jnp.int32)  # [N,512]
+    ry = jnp.round(px[None] * sin + py[None] * cos).astype(jnp.int32)
+    size = 2 * PATCH_RADIUS + 1
+    patches = extract_patches(blurred, xy, PATCH_RADIUS).reshape(xy.shape[0], -1)
+    flat = (ry + PATCH_RADIUS) * size + (rx + PATCH_RADIUS)  # [N, 512]
+    vals = jnp.take_along_axis(patches, flat, axis=1)  # [N, 512]
+    t1, t2 = vals[:, :PATTERN_BITS], vals[:, PATTERN_BITS:]
+    bits = (t1 < t2).astype(jnp.uint32)  # [N, 256]
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=2, dtype=jnp.uint32)
+
+
+def level_budgets(n_features: int, n_levels: int, scale_factor: float) -> list[int]:
+    """Geometric per-level feature budget (reference: orb.cpp:798-808)."""
+    factor = 1.0 / scale_factor
+    first = n_features * (1.0 - factor) / (1.0 - factor ** n_levels)
+    budgets = []
+    acc = 0
+    for lvl in range(n_levels - 1):
+        b = int(round(first * factor ** lvl))
+        budgets.append(b)
+        acc += b
+    budgets.append(max(n_features - acc, 0))
+    return budgets
+
+
+def detect_and_compute(
+    img: jnp.ndarray, config: ORBConfig = ORBConfig()
+) -> tuple[KeyPoints, jnp.ndarray]:
+    """Full ORB pipeline (analog of ORB_Impl::detectAndCompute,
+    orb.cpp:965-1204). Returns (KeyPoints, descriptors uint32 [N, 8])
+    where N = sum of per-level budgets (== n_features up to rounding).
+    """
+    img = img.astype(jnp.float32)
+    pyr = pyr_mod.build_pyramid(img, config.n_levels, config.scale_factor)
+    budgets = level_budgets(config.n_features, config.n_levels, config.scale_factor)
+
+    all_kp: list[KeyPoints] = []
+    all_desc: list[jnp.ndarray] = []
+    for lvl in range(config.n_levels):
+        level = pyr.levels[lvl]
+        scale = pyr.scales[lvl]
+        budget = budgets[lvl]
+        if budget == 0:
+            continue
+        h, w = level.shape
+        border = max(config.edge_threshold, PATCH_RADIUS + 1)
+
+        score = fast_mod.fast_score(level)
+        corner = score > config.fast_threshold
+        corner &= imgproc.nms_2d(jnp.where(corner, score, -jnp.inf))
+        yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+        xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        corner &= (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)
+
+        # stage 1: cull to 2x budget by FAST score (orb.cpp:849-852)
+        n_cand = min(2 * budget, h * w)
+        cand_idx, cand_keep = masked_top_k(score.reshape(-1), corner.reshape(-1), n_cand)
+        cxy = jnp.stack(
+            [(cand_idx % w).astype(jnp.float32), (cand_idx // w).astype(jnp.float32)],
+            axis=-1,
+        )
+
+        # stage 2: Harris rescoring + final cull (orb.cpp:897-918)
+        harris = imgproc.harris_response(level, block_size=config.harris_block)
+        cand_harris = harris.reshape(-1)[cand_idx]
+        sel, keep = masked_top_k(cand_harris, cand_keep, budget)
+        xy = cxy[sel]
+        resp = jnp.where(keep, cand_harris[sel], -jnp.inf)
+
+        # orientation on the raw level (orb.cpp:946)
+        angle = ic_angles(level, xy)
+
+        # descriptors on the blurred level (orb.cpp:1168-1200)
+        blurred = imgproc.gaussian_blur(level, 7, 2.0)
+        desc = brief_descriptors(blurred, xy, angle)
+
+        all_kp.append(
+            KeyPoints(
+                xy=xy * scale,
+                response=resp,
+                angle=angle,
+                level=jnp.full((budget,), lvl, jnp.int32),
+                size=jnp.full((budget,), config.patch_size * scale, jnp.float32),
+                valid=keep,
+            )
+        )
+        all_desc.append(desc)
+
+    kp = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=0), *all_kp)
+    desc = jnp.concatenate(all_desc, axis=0)
+    return kp, desc
