@@ -1,0 +1,79 @@
+"""LK tracker accuracy tests (mirrors video/test/test_optflowpyrlk.cpp's
+tracking-survival + accuracy assertions, on synthetic motion)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from opencv_tpu.core.config import LKConfig
+from opencv_tpu.ops import lk
+
+
+def make_textured(rng, h=120, w=160):
+    img = rng.uniform(0, 255, size=(h // 4, w // 4)).astype(np.float32)
+    img = np.kron(img, np.ones((4, 4), np.float32))  # blocky texture
+    # smooth slightly so gradients exist everywhere
+    from opencv_tpu.core import imgproc
+
+    return np.asarray(imgproc.gaussian_blur(jnp.asarray(img), 5, 1.2))
+
+
+def test_lk_pure_translation(rng):
+    img = make_textured(rng)
+    shift = (3, 5)  # dy, dx
+    moved = np.roll(img, shift, axis=(0, 1))
+    pts = np.array(
+        [[40.0, 30.0], [80.0, 60.0], [120.0, 50.0], [60.0, 90.0]], np.float32
+    )
+    new, status, err = lk.calc_optical_flow_pyr_lk(
+        jnp.asarray(img), jnp.asarray(moved), jnp.asarray(pts)
+    )
+    new, status = np.asarray(new), np.asarray(status)
+    assert status.all()
+    flow = new - pts
+    np.testing.assert_allclose(flow[:, 0], 5.0, atol=0.35)
+    np.testing.assert_allclose(flow[:, 1], 3.0, atol=0.35)
+
+
+def test_lk_large_motion_needs_pyramid(rng):
+    img = make_textured(rng)
+    moved = np.roll(img, (0, 18), axis=(0, 1))  # 18 px: beyond one window
+    pts = np.array([[60.0, 60.0], [90.0, 40.0]], np.float32)
+    new, status, _ = lk.calc_optical_flow_pyr_lk(
+        jnp.asarray(img), jnp.asarray(moved), jnp.asarray(pts),
+        cfg=LKConfig(n_levels=4),
+    )
+    new, status = np.asarray(new), np.asarray(status)
+    assert status.all()
+    np.testing.assert_allclose(new[:, 0] - pts[:, 0], 18.0, atol=0.6)
+
+
+def test_lk_flat_region_rejected(rng):
+    img = np.full((100, 100), 50.0, np.float32)
+    img[10:20, 10:20] = 200.0  # texture only in one corner
+    pts = np.array([[70.0, 70.0]], np.float32)  # flat area -> no gradient
+    _, status, _ = lk.calc_optical_flow_pyr_lk(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(pts)
+    )
+    assert not bool(np.asarray(status)[0])
+
+
+def test_lk_identity_motion(rng):
+    img = make_textured(rng)
+    pts = np.array([[50.0, 50.0], [30.0, 80.0]], np.float32)
+    new, status, err = lk.calc_optical_flow_pyr_lk(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(pts)
+    )
+    assert np.asarray(status).all()
+    np.testing.assert_allclose(np.asarray(new), pts, atol=0.05)
+    assert np.asarray(err).max() < 1.0
+
+
+def test_lk_invalid_points_stay_invalid(rng):
+    img = make_textured(rng)
+    pts = np.array([[50.0, 50.0], [60.0, 60.0]], np.float32)
+    valid = np.array([True, False])
+    _, status, _ = lk.calc_optical_flow_pyr_lk(
+        jnp.asarray(img), jnp.asarray(img), jnp.asarray(pts), jnp.asarray(valid)
+    )
+    status = np.asarray(status)
+    assert status[0] and not status[1]
