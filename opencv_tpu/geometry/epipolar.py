@@ -1,0 +1,252 @@
+"""Two-view epipolar geometry: essential/fundamental estimation, pose
+recovery, triangulation-based cheirality.
+
+Reference: calib3d/src/five-point.cpp (`findEssentialMat` :405,
+`decomposeEssentialMat` :643, `recoverPose` :461), fundam.cpp
+(`run8Point` :604 normalized DLT).
+
+TPU-native numerics: every nullspace is the smallest eigenvector of a
+small symmetric Gram matrix (jnp.linalg.eigh — batched, f32-stable after
+Hartley normalization) instead of a general SVD of a rectangular system;
+rank-2 enforcement and E decomposition use 3x3 SVDs which XLA handles
+batched. The RANSAC kernel is the 8-point algorithm: with thousands of
+hypotheses scored at once (geometry/ransac.py) the larger minimal sample
+costs hypotheses, not wall-clock — the classic 5-point polynomial solver
+(five-point.cpp:40) trades terribly against f32 TPU arithmetic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from opencv_tpu.core.config import RansacConfig
+from opencv_tpu.geometry import ransac as ransac_mod
+
+_P32 = lax.Precision.HIGHEST
+
+
+def normalize_pixels(pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
+    """Pixel coords [...,2] -> normalized camera coords via K^-1
+    (five-point.cpp:427-441 does the same (x-c)/f folding)."""
+    fx, fy = K[0, 0], K[1, 1]
+    cx, cy = K[0, 2], K[1, 2]
+    return jnp.stack(
+        [(pts[..., 0] - cx) / fx, (pts[..., 1] - cy) / fy], axis=-1
+    )
+
+
+def _hartley_normalize(pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Center + isotropic-scale points to mean distance sqrt(2).
+    Returns (normalized [N,2], T [3,3]) with x_norm = T @ x_homo."""
+    mean = jnp.mean(pts, axis=0)
+    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d), 1e-12)
+    T = jnp.array(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], pts.dtype
+    )
+    T = T.at[0, 0].set(scale).at[1, 1].set(scale)
+    T = T.at[0, 2].set(-scale * mean[0]).at[1, 2].set(-scale * mean[1])
+    return (pts - mean) * scale, T
+
+
+def _smallest_eigvec(gram: jnp.ndarray) -> jnp.ndarray:
+    """Unit eigenvector of the smallest eigenvalue of a symmetric matrix."""
+    _, vecs = jnp.linalg.eigh(gram)
+    return vecs[..., 0]
+
+
+def _nullspace(A: jnp.ndarray) -> jnp.ndarray:
+    """Right singular vector of the smallest singular value of [..., M, K].
+
+    Direct SVD of the design matrix, NOT eigh of A^T A: the Gram form
+    squares the condition number, which costs ~3 decimal digits in f32 —
+    measurably degrading two-view pose (the f32-on-TPU analog of the
+    reference doing this in f64, fundam.cpp run8Point).
+    """
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    return vt[..., -1, :]
+
+
+def _epipolar_design(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """Rows of the DLT system for x2^T E x1 = 0. [N, 9]."""
+    u1, v1 = x1[..., 0], x1[..., 1]
+    u2, v2 = x2[..., 0], x2[..., 1]
+    one = jnp.ones_like(u1)
+    return jnp.stack(
+        [u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one], axis=-1
+    )
+
+
+def enforce_essential(E: jnp.ndarray) -> jnp.ndarray:
+    """Project onto the essential manifold: singular values -> (s,s,0)."""
+    u, s, vt = jnp.linalg.svd(E)
+    sv = (s[..., 0] + s[..., 1]) * 0.5
+    d = jnp.stack([sv, sv, jnp.zeros_like(sv)], axis=-1)
+    return u @ (d[..., :, None] * vt)
+
+
+def enforce_rank2(F: jnp.ndarray) -> jnp.ndarray:
+    """Rank-2 projection keeping singular values (run8Point, fundam.cpp:604)."""
+    u, s, vt = jnp.linalg.svd(F)
+    d = s.at[..., 2].set(0.0)
+    return u @ (d[..., :, None] * vt)
+
+
+def eight_point(
+    x1: jnp.ndarray, x2: jnp.ndarray, essential: bool = True
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Normalized 8-point algorithm on [N>=8, 2] correspondences.
+
+    Returns (E_or_F [3,3], ok). Hartley-normalizes, solves the Gram
+    nullspace, projects to the essential/rank-2 manifold, denormalizes.
+    """
+    x1n, T1 = _hartley_normalize(x1)
+    x2n, T2 = _hartley_normalize(x2)
+    A = _epipolar_design(x1n, x2n)
+    e = _nullspace(A)
+    En = e.reshape(3, 3)
+    if essential:
+        # IMPORTANT: denormalize FIRST. The Hartley transforms are affine,
+        # so the true matrix is only *essential* (equal singular values) in
+        # the original camera frame — projecting in the normalized frame
+        # injects genuine model error.
+        E = T2.T @ En @ T1
+        E = enforce_essential(E)
+    else:
+        # rank-2ness survives the (full-rank) denormalization, so project
+        # in the normalized frame like run8Point (fundam.cpp:604).
+        E = T2.T @ enforce_rank2(En) @ T1
+    nrm = jnp.linalg.norm(E)
+    ok = (nrm > 1e-12) & jnp.all(jnp.isfinite(E))
+    E = E / jnp.maximum(nrm, 1e-12)
+    return E, ok
+
+
+def sampson_error(E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
+    """First-order geometric (Sampson) distance, squared
+    (five-point.cpp:373 computeError). x1, x2: [N,2]."""
+    ones = jnp.ones_like(x1[..., :1])
+    p1 = jnp.concatenate([x1, ones], axis=-1)  # [N,3]
+    p2 = jnp.concatenate([x2, ones], axis=-1)
+    Ex1 = p1 @ E.T  # [N,3]
+    Etx2 = p2 @ E
+    num = jnp.sum(p2 * Ex1, axis=-1) ** 2
+    den = Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2 + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+    return num / jnp.maximum(den, 1e-12)
+
+
+def triangulate_normalized(
+    R: jnp.ndarray, t: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray
+) -> jnp.ndarray:
+    """Linear (DLT) triangulation for P1=[I|0], P2=[R|t], normalized image
+    points [N,2] -> world points [N,3] (cam-1 frame).
+
+    Analog of cv::triangulatePoints (calib3d/src/triangulate.cpp:346) with
+    the SVD replaced by a batched 4x4 symmetric eigensolve.
+    """
+    P1 = jnp.concatenate([jnp.eye(3, dtype=R.dtype), jnp.zeros((3, 1), R.dtype)], axis=1)
+    P2 = jnp.concatenate([R, t.reshape(3, 1)], axis=1)
+
+    def rows(P, x):
+        # x * P[2] - P[0],  y * P[2] - P[1]
+        return jnp.stack(
+            [x[..., 0, None] * P[2] - P[0], x[..., 1, None] * P[2] - P[1]], axis=-2
+        )  # [N,2,4]
+
+    A = jnp.concatenate([rows(P1, x1), rows(P2, x2)], axis=-2)  # [N,4,4]
+    X = _nullspace(A)  # [N,4]
+    w = X[..., 3]
+    w = jnp.where(jnp.abs(w) < 1e-12, 1e-12, w)
+    return X[..., :3] / w[..., None]
+
+
+def decompose_essential(E: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """E -> (R1, R2, t) candidates (five-point.cpp:643
+    decomposeEssentialMat): R1 = U W Vt, R2 = U Wt Vt, t = u3."""
+    u, _, vt = jnp.linalg.svd(E)
+    # keep proper rotations
+    u = u * jnp.sign(jnp.linalg.det(u))
+    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
+    R1 = u @ W @ vt
+    R2 = u @ W.T @ vt
+    t = u[:, 2]
+    return R1, R2, t
+
+
+class RecoveredPose(NamedTuple):
+    R: jnp.ndarray
+    t: jnp.ndarray
+    mask: jnp.ndarray  # [N] bool: inliers passing cheirality
+    n_good: jnp.ndarray
+
+
+def recover_pose(
+    E: jnp.ndarray,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    mask: jnp.ndarray | None = None,
+    distance_thresh: float = 50.0,
+) -> RecoveredPose:
+    """Choose the (R, t) with maximal cheirality support among the four
+    decompositions of E, testing by triangulation (five-point.cpp:461-641).
+    x1, x2 normalized coords [N,2]; mask restricts the vote to inliers.
+    """
+    n = x1.shape[0]
+    if mask is None:
+        mask = jnp.ones((n,), bool)
+    R1, R2, t = decompose_essential(E)
+    cands = [(R1, t), (R1, -t), (R2, t), (R2, -t)]
+
+    def score(Rc, tc):
+        X = triangulate_normalized(Rc, tc, x1, x2)
+        z1 = X[..., 2]
+        z2 = (X @ Rc.T + tc)[..., 2]
+        good = (z1 > 0) & (z2 > 0) & (z1 < distance_thresh) & (z2 < distance_thresh)
+        good &= mask
+        return good, jnp.sum(good)
+
+    goods, counts = zip(*[score(Rc, tc) for (Rc, tc) in cands])
+    counts = jnp.stack(counts)
+    best = jnp.argmax(counts)
+    Rs = jnp.stack([c[0] for c in cands])
+    ts = jnp.stack([c[1] for c in cands])
+    masks = jnp.stack(goods)
+    return RecoveredPose(
+        R=Rs[best], t=ts[best], mask=masks[best], n_good=counts[best]
+    )
+
+
+def find_essential_ransac(
+    key: jax.Array,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    cfg: RansacConfig = RansacConfig(threshold=1e-3),
+) -> ransac_mod.RansacResult:
+    """findEssentialMat analog (five-point.cpp:405) on *normalized* coords.
+
+    cfg.threshold is the LINEAR Sampson distance bound in normalized units
+    (pixel_threshold / focal — the same folding as five-point.cpp:441);
+    it is squared internally to compare against the squared Sampson error.
+    """
+    n = x1.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    thr2 = cfg.threshold * cfg.threshold
+    cfg2 = RansacConfig(
+        n_hypotheses=cfg.n_hypotheses, threshold=thr2, confidence=cfg.confidence,
+        seed=cfg.seed,
+    )
+
+    def model_fn(idx):
+        return eight_point(x1[idx], x2[idx], essential=True)
+
+    def error_fn(E):
+        return sampson_error(E, x1, x2)
+
+    return ransac_mod.ransac(key, n, valid, 8, model_fn, error_fn, cfg2)

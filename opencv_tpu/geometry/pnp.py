@@ -1,0 +1,156 @@
+"""Perspective-n-Point: DLT initialization + Gauss-Newton refinement +
+batched RANSAC.
+
+Reference: the solvePnP family (calib3d/src/solvepnp.cpp:115 front door;
+EPnP epnp.cpp; P3P p3p.cpp; the ITERATIVE path = DLT/homography init +
+CvLevMarq refine, calibration.cpp:969-1170) and the GPU batched-hypothesis
+solvePnPRansac (cudalegacy/src/calib3d.cpp:152-260).
+
+TPU-native choices: the minimal RANSAC kernel is a 6-point DLT (a single
+batched 12x12 symmetric eigensolve per hypothesis — no polynomial systems
+in f32), followed by vmapped Gauss-Newton on the winner's inliers with
+jax-autodiff Jacobians (replacing the hand-written ones at
+calibration.cpp:520-610).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from opencv_tpu.core.config import RansacConfig
+from opencv_tpu.geometry import ransac as ransac_mod
+from opencv_tpu.geometry.rotation import project_to_rotation, rodrigues, rodrigues_inv
+
+_P32 = lax.Precision.HIGHEST
+
+
+def project_points(
+    rvec: jnp.ndarray, tvec: jnp.ndarray, obj_pts: jnp.ndarray
+) -> jnp.ndarray:
+    """World [N,3] -> normalized image coords [N,2] through (rvec, tvec).
+    (cvProjectPoints2 analog, calibration.cpp:520, without intrinsics —
+    pixel conversion is the caller's affine step.)"""
+    R = rodrigues(rvec)
+    pc = obj_pts @ R.T + tvec
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+    return pc[..., :2] / z[..., None]
+
+
+def dlt_pnp(obj_pts: jnp.ndarray, img_pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Direct linear transform PnP on [N>=6,3]/[N,2] (normalized coords).
+
+    Returns (rvec, tvec, ok). Solves for P [3,4] via the 12x12 Gram
+    nullspace, fixes scale/sign by cheirality, projects onto SO(3).
+    """
+    n = obj_pts.shape[0]
+    X = jnp.concatenate([obj_pts, jnp.ones((n, 1), obj_pts.dtype)], axis=1)  # [N,4]
+    u, v = img_pts[:, 0], img_pts[:, 1]
+    zeros = jnp.zeros_like(X)
+    rows_u = jnp.concatenate([X, zeros, -u[:, None] * X], axis=1)  # [N,12]
+    rows_v = jnp.concatenate([zeros, X, -v[:, None] * X], axis=1)
+    A = jnp.concatenate([rows_u, rows_v], axis=0)  # [2N,12]
+    from opencv_tpu.geometry.epipolar import _nullspace
+    p = _nullspace(A).reshape(3, 4)
+    # cheirality: majority of depths positive, else flip sign
+    depths = X @ p[2]
+    sign = jnp.where(jnp.sum(jnp.sign(depths)) >= 0, 1.0, -1.0)
+    p = p * sign
+    M = p[:, :3]
+    scale = jnp.linalg.det(M)
+    ok = jnp.abs(scale) > 1e-12
+    scale = jnp.sign(scale) * jnp.abs(scale) ** (1.0 / 3.0)
+    scale = jnp.where(ok, scale, 1.0)
+    R = project_to_rotation(M / scale)
+    t = p[:, 3] / scale
+    ok &= jnp.all(jnp.isfinite(R)) & jnp.all(jnp.isfinite(t))
+    return rodrigues_inv(R), t, ok
+
+
+def gn_refine_pose(
+    rvec: jnp.ndarray,
+    tvec: jnp.ndarray,
+    obj_pts: jnp.ndarray,
+    img_pts: jnp.ndarray,
+    weights: jnp.ndarray,
+    iters: int = 10,
+    damping: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Weighted Gauss-Newton on reprojection error (the solvePnPRefineLM
+    analog, solvepnp.cpp:476-693). weights: [N] (0 masks a point)."""
+
+    def residuals(params):
+        r = project_points(params[:3], params[3:], obj_pts) - img_pts
+        return (r * weights[:, None]).reshape(-1)
+
+    params = jnp.concatenate([rvec, tvec])
+
+    def body(_, params):
+        r = residuals(params)
+        J = jax.jacfwd(residuals)(params)  # [2N, 6]
+        H = jnp.einsum("ni,nj->ij", J, J, precision=_P32)
+        g = J.T @ r
+        H = H + damping * jnp.eye(6, dtype=H.dtype)
+        step = jnp.linalg.solve(H, g)
+        return params - step
+
+    params = lax.fori_loop(0, iters, body, params)
+    return params[:3], params[3:]
+
+
+class PnPResult(NamedTuple):
+    rvec: jnp.ndarray
+    tvec: jnp.ndarray
+    inliers: jnp.ndarray
+    n_inliers: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def solve_pnp_ransac(
+    key: jax.Array,
+    obj_pts: jnp.ndarray,
+    img_pts: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    cfg: RansacConfig = RansacConfig(threshold=2e-3),
+    refine_iters: int = 10,
+) -> PnPResult:
+    """solvePnPRansac analog (solvepnp.cpp:196; GPU shape
+    cudalegacy/src/calib3d.cpp:211). Normalized image coords; threshold is
+    LINEAR reprojection distance in normalized units (px / focal).
+    Final pose is Gauss-Newton-refined on all inliers (solvepnp.cpp:312
+    re-solves on the inlier set the same way)."""
+    n = obj_pts.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    thr2 = cfg.threshold * cfg.threshold
+    cfg2 = RansacConfig(
+        n_hypotheses=cfg.n_hypotheses, threshold=thr2, confidence=cfg.confidence,
+        seed=cfg.seed,
+    )
+
+    def model_fn(idx):
+        rv, tv, ok = dlt_pnp(obj_pts[idx], img_pts[idx])
+        return jnp.concatenate([rv, tv]), ok
+
+    def error_fn(model):
+        d = project_points(model[:3], model[3:], obj_pts) - img_pts
+        return jnp.sum(d * d, axis=-1)
+
+    res = ransac_mod.ransac(key, n, valid, 6, model_fn, error_fn, cfg2)
+    rvec, tvec = res.model[:3], res.model[3:]
+    w = res.inliers.astype(jnp.float32)
+    rvec, tvec = gn_refine_pose(rvec, tvec, obj_pts, img_pts, w, refine_iters)
+    # recompute inliers after refinement
+    d = project_points(rvec, tvec, obj_pts) - img_pts
+    err = jnp.sum(d * d, axis=-1)
+    inliers = (err < thr2) & valid
+    return PnPResult(
+        rvec=rvec,
+        tvec=tvec,
+        inliers=inliers,
+        n_inliers=jnp.sum(inliers),
+        ok=res.ok,
+    )
