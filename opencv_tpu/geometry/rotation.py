@@ -52,8 +52,6 @@ def rodrigues_inv(R: jnp.ndarray) -> jnp.ndarray:
     reference's cvRodrigues2 has the same practical domain).
     """
     tr = R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2]
-    cos_t = jnp.clip((tr - 1.0) * 0.5, -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack(
         [
             R[..., 2, 1] - R[..., 1, 2],
@@ -62,13 +60,16 @@ def rodrigues_inv(R: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    sin_t = jnp.sin(theta)
-    small = theta < 1e-5
-    scale = jnp.where(
-        small,
-        0.5 + theta * theta / 12.0,  # Taylor of θ/(2 sin θ)
-        theta / jnp.where(small, 1.0, 2.0 * sin_t + 1e-30),
-    )
+    # |w| = 2 sin θ, tr - 1 = 2 cos θ  ⇒  θ = atan2(|w|, tr-1).
+    # atan2 (unlike arccos) has bounded derivatives near θ = 0, which
+    # keeps jacfwd through pose-graph residuals finite. The double-where
+    # guards keep the sqrt/divide gradients off the singular branch.
+    s2 = jnp.sum(w * w, axis=-1)
+    small = s2 < 1e-12
+    s_safe = jnp.sqrt(jnp.where(small, 1.0, s2))
+    theta = jnp.arctan2(jnp.where(small, 0.0, s_safe), tr - 1.0)
+    # rvec = w * θ / |w|;  θ/|w| → 1/2 as θ → 0
+    scale = jnp.where(small, 0.5 + s2 / 24.0, theta / jnp.where(small, 1.0, 2.0 * jnp.sin(theta) + 1e-30))
     near_pi = theta > jnp.pi - 1e-3
     # near π: axis from diagonal of (R + I)/2
     axis2 = jnp.clip((jnp.diagonal(R, axis1=-2, axis2=-1) + 1.0) * 0.5, 0.0, 1.0)

@@ -1,0 +1,208 @@
+"""Sparse bundle adjustment with Schur complement on camera blocks.
+
+The reference's bundle adjusters (stitching/src/motion_estimators.cpp:
+221-310 `BundleAdjusterBase::estimate`) build a DENSE Jacobian with
+forward differences and hand the full system to CvLevMarq — no sparsity
+exploitation (SURVEY.md §3.5). This module is the TPU-first replacement
+promised there: analytic (autodiff) Jacobians per observation, block
+J^T J assembly by segment-sums, Schur elimination of the (many) point
+blocks, and a dense solve only on the (few) camera blocks.
+
+Static-shape discipline: the observation list is a fixed-capacity SoA
+(cam_idx, pt_idx, uv, valid); masked observations contribute zeros.
+All block algebra is batched einsums — MXU-friendly, and the same
+segment-sums become `psum`s when observations are sharded over a mesh
+(parallel/dist_ba.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from opencv_tpu.geometry.rotation import rodrigues
+
+_P32 = lax.Precision.HIGHEST
+
+
+class BAProblem(NamedTuple):
+    """Fixed-capacity BA problem.
+
+    cam_rvec [C,3], cam_tvec [C,3]: world->camera poses.
+    points   [P,3]: landmark positions.
+    obs_cam  [O] i32, obs_pt [O] i32, obs_uv [O,2] f32 (normalized image
+    coords), obs_valid [O] bool.
+    fixed_cams [C] bool: gauge-fixed cameras (their params do not move).
+    """
+
+    cam_rvec: jnp.ndarray
+    cam_tvec: jnp.ndarray
+    points: jnp.ndarray
+    obs_cam: jnp.ndarray
+    obs_pt: jnp.ndarray
+    obs_uv: jnp.ndarray
+    obs_valid: jnp.ndarray
+    fixed_cams: jnp.ndarray
+
+
+def _project_one(cam6: jnp.ndarray, pt: jnp.ndarray) -> jnp.ndarray:
+    R = rodrigues(cam6[:3])
+    pc = R @ pt + cam6[3:]
+    z = jnp.where(jnp.abs(pc[2]) < 1e-9, 1e-9, pc[2])
+    return pc[:2] / z
+
+
+def residuals(p: BAProblem) -> jnp.ndarray:
+    """[O,2] masked reprojection residuals."""
+    cams6 = jnp.concatenate([p.cam_rvec, p.cam_tvec], axis=1)  # [C,6]
+    r = jax.vmap(_project_one)(cams6[p.obs_cam], p.points[p.obs_pt]) - p.obs_uv
+    return jnp.where(p.obs_valid[:, None], r, 0.0)
+
+
+def cost(p: BAProblem) -> jnp.ndarray:
+    r = residuals(p)
+    return 0.5 * jnp.sum(r * r)
+
+
+def _blocks(p: BAProblem, huber_delta: float | None):
+    """Per-observation residuals and Jacobian blocks.
+
+    Returns r [O,2], Jc [O,2,6], Jp [O,2,3] (masked rows zeroed)."""
+    cams6 = jnp.concatenate([p.cam_rvec, p.cam_tvec], axis=1)
+
+    def one(cam6, pt, uv, valid):
+        def res(c6, pt3):
+            return _project_one(c6, pt3) - uv
+
+        r = res(cam6, pt)
+        jc = jax.jacfwd(res, argnums=0)(cam6, pt)  # [2,6]
+        jp = jax.jacfwd(res, argnums=1)(cam6, pt)  # [2,3]
+        w = jnp.where(valid, 1.0, 0.0)
+        if huber_delta is not None:
+            # robust reweighting: w *= sqrt(huber'(||r||)/||r||)
+            nrm = jnp.sqrt(jnp.sum(r * r) + 1e-18)
+            w = w * jnp.sqrt(jnp.minimum(1.0, huber_delta / nrm))
+        return r * w, jc * w, jp * w
+
+    return jax.vmap(one)(cams6[p.obs_cam], p.points[p.obs_pt], p.obs_uv, p.obs_valid)
+
+
+class BAStepState(NamedTuple):
+    problem: BAProblem
+    lam: jnp.ndarray
+    cost: jnp.ndarray
+    n_accepted: jnp.ndarray
+
+
+def schur_normal_equations(
+    p: BAProblem, huber_delta: float | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Assemble the block normal equations.
+
+    Returns (U [C,6,6], V [P,3,3], W [C,P,6,3], bc [C,6], bp [P,3]) for
+    J^T J dx = -J^T r. This assembly is the piece that distributes: U, V,
+    W, bc, bp are sums over observations, so sharded observation ranges
+    psum into the same shapes.
+    """
+    C = p.cam_rvec.shape[0]
+    P = p.points.shape[0]
+    r, Jc, Jp = _blocks(p, huber_delta)
+    U = jnp.zeros((C, 6, 6), jnp.float32).at[p.obs_cam].add(
+        jnp.einsum("oij,oik->ojk", Jc, Jc, precision=_P32)
+    )
+    V = jnp.zeros((P, 3, 3), jnp.float32).at[p.obs_pt].add(
+        jnp.einsum("oij,oik->ojk", Jp, Jp, precision=_P32)
+    )
+    W = jnp.zeros((C, P, 6, 3), jnp.float32).at[p.obs_cam, p.obs_pt].add(
+        jnp.einsum("oij,oik->ojk", Jc, Jp, precision=_P32)
+    )
+    bc = jnp.zeros((C, 6), jnp.float32).at[p.obs_cam].add(
+        -jnp.einsum("oij,oi->oj", Jc, r, precision=_P32)
+    )
+    bp = jnp.zeros((P, 3), jnp.float32).at[p.obs_pt].add(
+        -jnp.einsum("oij,oi->oj", Jp, r, precision=_P32)
+    )
+    return U, V, W, bc, bp
+
+
+def schur_solve(
+    U: jnp.ndarray,
+    V: jnp.ndarray,
+    W: jnp.ndarray,
+    bc: jnp.ndarray,
+    bp: jnp.ndarray,
+    lam: jnp.ndarray,
+    fixed_cams: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the damped system via the Schur complement on cameras.
+
+    S = U - W V^-1 W^T (reduced camera system, dense [6C, 6C]), then
+    back-substitute points. Gauge: fixed cameras get a huge diagonal so
+    their update is ~0 (then explicitly zeroed).
+    """
+    C = U.shape[0]
+    P = V.shape[0]
+    eye6 = jnp.eye(6, dtype=U.dtype)
+    eye3 = jnp.eye(3, dtype=U.dtype)
+    big = jnp.where(fixed_cams, 1e12, 0.0)[:, None, None] * eye6[None]
+    Ud = U + lam * eye6[None] + big
+    Vd = V + lam * eye3[None]
+    Vinv = jnp.linalg.inv(Vd)  # [P,3,3] batched
+    # Y[c,p] = W[c,p] @ Vinv[p]
+    Y = jnp.einsum("cpij,pjk->cpik", W, Vinv, precision=_P32)
+    # S[c,c'] = delta Ud - sum_p Y[c,p] W[c',p]^T
+    S = -jnp.einsum("cpik,dpjk->cidj", Y, W, precision=_P32)
+    S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Ud)
+    rhs = bc - jnp.einsum("cpik,pk->ci", Y, bp, precision=_P32)
+    dc = jnp.linalg.solve(S.reshape(6 * C, 6 * C), rhs.reshape(6 * C)).reshape(C, 6)
+    dc = jnp.where(fixed_cams[:, None], 0.0, dc)
+    # back-substitute: dp = Vinv (bp - sum_c W[c,p]^T dc[c])
+    tmp = bp - jnp.einsum("cpij,ci->pj", W, dc, precision=_P32)
+    dp = jnp.einsum("pij,pj->pi", Vinv, tmp, precision=_P32)
+    return dc, dp
+
+
+def ba_step(state: BAStepState, huber_delta: float | None = None) -> BAStepState:
+    """One damped LM step with accept/reject (levmarq.cpp:88-197 schedule)."""
+    p = state.problem
+    U, V, W, bc, bp = schur_normal_equations(p, huber_delta)
+    dc, dp = schur_solve(U, V, W, bc, bp, state.lam, p.fixed_cams)
+    new_p = p._replace(
+        cam_rvec=p.cam_rvec + dc[:, :3],
+        cam_tvec=p.cam_tvec + dc[:, 3:],
+        points=p.points + dp,
+    )
+    c_new = cost(new_p)
+    accept = (c_new < state.cost) & jnp.isfinite(c_new)
+    merged = jax.tree.map(
+        lambda a, b: jnp.where(accept, b, a), p, new_p
+    )
+    lam = jnp.where(accept, state.lam / 3.0, state.lam * 4.0)
+    lam = jnp.clip(lam, 1e-10, 1e10)
+    return BAStepState(
+        problem=merged,
+        lam=lam,
+        cost=jnp.where(accept, c_new, state.cost),
+        n_accepted=state.n_accepted + accept.astype(jnp.int32),
+    )
+
+
+def bundle_adjust(
+    p: BAProblem,
+    iters: int = 20,
+    lambda0: float = 1e-4,
+    huber_delta: float | None = None,
+) -> tuple[BAProblem, jnp.ndarray]:
+    """Run `iters` LM steps. Returns (optimized problem, final cost)."""
+
+    def body(_, state):
+        return ba_step(state, huber_delta)
+
+    state0 = BAStepState(
+        problem=p, lam=jnp.float32(lambda0), cost=cost(p), n_accepted=jnp.int32(0)
+    )
+    state = lax.fori_loop(0, iters, body, state0)
+    return state.problem, state.cost
