@@ -39,12 +39,22 @@ def normalize_pixels(pts: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     )
 
 
-def _hartley_normalize(pts: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+def _hartley_normalize(
+    pts: jnp.ndarray, w: jnp.ndarray | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Center + isotropic-scale points to mean distance sqrt(2).
-    Returns (normalized [N,2], T [3,3]) with x_norm = T @ x_homo."""
-    mean = jnp.mean(pts, axis=0)
-    d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
-    scale = jnp.sqrt(2.0) / jnp.maximum(jnp.mean(d), 1e-12)
+    Returns (normalized [N,2], T [3,3]) with x_norm = T @ x_homo.
+    Optional weights w [N] (0/1 masks) for inlier-restricted statistics."""
+    if w is None:
+        mean = jnp.mean(pts, axis=0)
+        d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+        md = jnp.mean(d)
+    else:
+        wsum = jnp.maximum(jnp.sum(w), 1e-12)
+        mean = jnp.sum(pts * w[:, None], axis=0) / wsum
+        d = jnp.sqrt(jnp.sum((pts - mean) ** 2, axis=-1))
+        md = jnp.sum(d * w) / wsum
+    scale = jnp.sqrt(2.0) / jnp.maximum(md, 1e-12)
     T = jnp.array(
         [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], pts.dtype
     )
@@ -97,16 +107,23 @@ def enforce_rank2(F: jnp.ndarray) -> jnp.ndarray:
 
 
 def eight_point(
-    x1: jnp.ndarray, x2: jnp.ndarray, essential: bool = True
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    essential: bool = True,
+    weights: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Normalized 8-point algorithm on [N>=8, 2] correspondences.
 
-    Returns (E_or_F [3,3], ok). Hartley-normalizes, solves the Gram
+    Returns (E_or_F [3,3], ok). Hartley-normalizes, solves the design
     nullspace, projects to the essential/rank-2 manifold, denormalizes.
+    `weights` (0/1) restricts the fit to inliers — used by the RANSAC
+    polish step.
     """
-    x1n, T1 = _hartley_normalize(x1)
-    x2n, T2 = _hartley_normalize(x2)
+    x1n, T1 = _hartley_normalize(x1, weights)
+    x2n, T2 = _hartley_normalize(x2, weights)
     A = _epipolar_design(x1n, x2n)
+    if weights is not None:
+        A = A * weights[:, None]
     e = _nullspace(A)
     En = e.reshape(3, 3)
     if essential:
@@ -249,4 +266,21 @@ def find_essential_ransac(
     def error_fn(E):
         return sampson_error(E, x1, x2)
 
-    return ransac_mod.ransac(key, n, valid, 8, model_fn, error_fn, cfg2)
+    res = ransac_mod.ransac(key, n, valid, 8, model_fn, error_fn, cfg2)
+
+    # polish: refit on ALL inliers, twice (the reference's final
+    # all-inlier re-solve, ptsetreg.cpp:253 / solvepnp.cpp:312-314 —
+    # essential to average away feature-localization noise)
+    inliers = res.inliers
+    E = res.model
+    for _ in range(2):
+        w = inliers.astype(x1.dtype)
+        E_ref, ok_ref = eight_point(x1, x2, essential=True, weights=w)
+        err = sampson_error(E_ref, x1, x2)
+        new_inliers = (err < thr2) & valid
+        better = ok_ref & (jnp.sum(new_inliers) >= jnp.sum(inliers))
+        E = jnp.where(better, E_ref, E)
+        inliers = jnp.where(better, new_inliers, inliers)
+    return ransac_mod.RansacResult(
+        model=E, inliers=inliers, n_inliers=jnp.sum(inliers), ok=res.ok
+    )
