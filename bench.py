@@ -1,0 +1,76 @@
+"""Headline benchmark: ORB front-end + Hamming matching throughput.
+
+BASELINE.md measurement config 1: ORB (nfeatures=2000, 8-level pyramid)
+detect+describe on a KITTI-sized grayscale frame (376x1241) plus
+BFMatcher-Hamming between two frames, single chip, steady state.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline: the reference repo publishes no numbers (BASELINE.md); until
+a built-reference measurement lands, the stand-in baseline is 100 frames/s
+— the ballpark of the reference's CUDA ORB+match path on the paper's
+Volta hardware (cudafeatures2d perf tests run ~5-10 ms/frame at this
+config). vs_baseline = our_fps / 100.
+"""
+
+import json
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_FPS = 100.0
+
+
+def main():
+    from opencv_tpu.core.config import MatchConfig, ORBConfig
+    from opencv_tpu.ops import matching, orb
+
+    cfg = ORBConfig(n_features=2000, n_levels=8)
+
+    @jax.jit
+    def frontend_pair(img0, img1):
+        kp0, d0 = orb.detect_and_compute(img0, cfg)
+        kp1, d1 = orb.detect_and_compute(img1, cfg)
+        m = matching.knn_match(
+            d0, d1, query_valid=kp0.valid, train_valid=kp1.valid,
+            config=MatchConfig(),
+        )
+        return kp0.xy, kp1.xy, m.train_idx, m.distance, m.valid
+
+    rng = np.random.default_rng(0)
+    base = rng.uniform(0, 255, size=(376, 1241)).astype(np.float32)
+    img0 = jnp.asarray(base)
+    img1 = jnp.asarray(np.roll(base, (3, 7), axis=(0, 1)))
+
+    # warmup / compile
+    jax.block_until_ready(frontend_pair(img0, img1))
+
+    # steady state, blocking every call (no pipelining flattery)
+    n_iters = 50
+    times = []
+    for _ in range(n_iters):
+        t0 = time.perf_counter()
+        out = frontend_pair(img0, img1)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    # each call processes two frames through ORB + one matching step
+    frames_per_s = 2.0 / dt
+
+    print(
+        json.dumps(
+            {
+                "metric": "orb2000_8lvl_detect_describe_match_frames_per_s",
+                "value": round(frames_per_s, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(frames_per_s / BASELINE_FPS, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
