@@ -1,1 +1,10 @@
-from opencv_tpu.ops import fast  # noqa: F401
+from opencv_tpu.ops import (  # noqa: F401
+    edges,
+    fast,
+    gftt,
+    hough,
+    kalman,
+    lk,
+    matching,
+    orb,
+)
