@@ -18,6 +18,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -45,18 +46,27 @@ def sep_filter2d(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndar
     img: [..., H, W]; ky: [kh]; kx: [kw]. Analog of cv::sepFilter2D
     (reference: imgproc/src/filter.cpp) and the per-type row/column CUDA
     filters (cudafilters/src/cuda/{row,column}_filter.*.cu).
+
+    Implemented as shift-and-accumulate over padded slices, NOT
+    lax.conv: single-channel small-kernel convs hit a slow TPU path
+    (~0.7 ms/conv on a KITTI frame), while k slice-FMAs fuse into one
+    bandwidth-bound elementwise pass.
     """
     kh, kw = ky.shape[0], kx.shape[0]
-    batch_shape = img.shape[:-2]
     h, w = img.shape[-2:]
     x = _reflect_pad(img.astype(jnp.float32), kh // 2, kw // 2)
-    x = x.reshape((-1, 1) + x.shape[-2:])  # [B,1,H',W']
-    kern_y = ky.reshape(1, 1, kh, 1).astype(jnp.float32)
-    kern_x = kx.reshape(1, 1, 1, kw).astype(jnp.float32)
-    dn = lax.conv_dimension_numbers(x.shape, kern_y.shape, ("NCHW", "OIHW", "NCHW"))
-    x = lax.conv_general_dilated(x, kern_y, (1, 1), "VALID", dimension_numbers=dn)
-    x = lax.conv_general_dilated(x, kern_x, (1, 1), "VALID", dimension_numbers=dn)
-    return x.reshape(batch_shape + (h, w))
+    ky = np.asarray(ky, np.float32)
+    kx = np.asarray(kx, np.float32)
+    # vertical pass over rows of the padded array
+    acc = None
+    for i in range(kh):
+        term = float(ky[i]) * x[..., i : i + h, :]
+        acc = term if acc is None else acc + term
+    out = None
+    for j in range(kw):
+        term = float(kx[j]) * acc[..., :, j : j + w]
+        out = term if out is None else out + term
+    return out
 
 
 def gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
@@ -82,6 +92,70 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
 def box_filter(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
     k = jnp.full((ksize,), 1.0 / ksize, jnp.float32)
     return sep_filter2d(img, k, k)
+
+
+def box_sum_integral(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
+    """(2r+1)^2 un-normalized box sum via integral images (cumsum): two
+    prefix sums + four shifted reads, independent of ksize. Border
+    behavior: zero outside (differs from reflect; callers on interior
+    pixels are unaffected). The cv::integral trick
+    (cudaarithm gridIntegral / imgproc/src/sumpixels.cpp)."""
+    r = ksize // 2
+    h, w = img.shape[-2:]
+    pad = [(0, 0)] * (img.ndim - 2) + [(r + 1, r), (r + 1, r)]
+    x = jnp.pad(img.astype(jnp.float32), pad)
+    ii = jnp.cumsum(jnp.cumsum(x, axis=-1), axis=-2)
+    a = ii[..., : h, : w]
+    b = ii[..., : h, ksize :]
+    c = ii[..., ksize :, : w]
+    d = ii[..., ksize :, ksize :]
+    return d - b - c + a
+
+
+def threshold(
+    img: jnp.ndarray, thresh: float, maxval: float = 255.0, kind: str = "binary"
+) -> jnp.ndarray:
+    """cv::threshold analog (imgproc/src/thresh.cpp). kinds: binary,
+    binary_inv, trunc, tozero, tozero_inv."""
+    img = img.astype(jnp.float32)
+    above = img > thresh
+    if kind == "binary":
+        return jnp.where(above, maxval, 0.0)
+    if kind == "binary_inv":
+        return jnp.where(above, 0.0, maxval)
+    if kind == "trunc":
+        return jnp.where(above, thresh, img)
+    if kind == "tozero":
+        return jnp.where(above, img, 0.0)
+    if kind == "tozero_inv":
+        return jnp.where(above, 0.0, img)
+    raise ValueError(f"unknown threshold kind {kind}")
+
+
+def otsu_threshold(img: jnp.ndarray, bins: int = 256) -> jnp.ndarray:
+    """Otsu's threshold value (THRESH_OTSU analog) for u8-range images:
+    maximize between-class variance over all split points."""
+    idx = jnp.clip(img.astype(jnp.int32), 0, bins - 1)
+    hist = jnp.bincount(idx.reshape(-1), length=bins).astype(jnp.float32)
+    total = jnp.sum(hist)
+    levels = jnp.arange(bins, dtype=jnp.float32)
+    w0 = jnp.cumsum(hist)
+    sum0 = jnp.cumsum(hist * levels)
+    sum_all = sum0[-1]
+    w1 = total - w0
+    mu0 = sum0 / jnp.maximum(w0, 1e-9)
+    mu1 = (sum_all - sum0) / jnp.maximum(w1, 1e-9)
+    between = w0 * w1 * (mu0 - mu1) ** 2
+    between = jnp.where((w0 > 0) & (w1 > 0), between, -1.0)
+    return jnp.argmax(between).astype(jnp.float32)
+
+
+def integral(img: jnp.ndarray) -> jnp.ndarray:
+    """cv::integral analog: [H+1, W+1] with a zero first row/col."""
+    h, w = img.shape[-2:]
+    pad = [(0, 0)] * (img.ndim - 2) + [(1, 0), (1, 0)]
+    x = jnp.pad(img.astype(jnp.float32), pad)
+    return jnp.cumsum(jnp.cumsum(x, axis=-1), axis=-2)
 
 
 def scharr_derivatives(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -159,10 +233,11 @@ def harris_response(
         iy = sep_filter2d(img, dfilt, one)
     else:
         ix, iy = sobel_derivatives(img)
-    ones = jnp.ones((block_size,), jnp.float32)
-    sxx = sep_filter2d(ix * ix, ones, ones)
-    syy = sep_filter2d(iy * iy, ones, ones)
-    sxy = sep_filter2d(ix * iy, ones, ones)
+    # block sums via integral images: O(1) in block_size, two cumsums
+    # per channel instead of 2*block_size shift-FMAs
+    sxx = box_sum_integral(ix * ix, block_size)
+    syy = box_sum_integral(iy * iy, block_size)
+    sxy = box_sum_integral(ix * iy, block_size)
     det = sxx * syy - sxy * sxy
     tr = sxx + syy
     return det - k * tr * tr

@@ -91,18 +91,58 @@ def _ic_weights(radius: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     )
 
 
+def ic_angle_maps(img: jnp.ndarray, radius: int = HALF_PATCH) -> jnp.ndarray:
+    """Dense (m01, m10) circular moments -> per-pixel angle map [H, W].
+
+    The per-keypoint patch version costs a large gather per keypoint; the
+    dense form is ~60 shifted reads of two cumsum images (bandwidth-bound,
+    fully fused) followed by one tiny scalar gather per keypoint. For the
+    circle row at offset v, the horizontal extent is
+    umax(v) = floor(sqrt(r^2 - v^2)):
+        m01 = sum_v v * rowsum_v,  m10 = sum_u u * colsum_u.
+    """
+    img = img.astype(jnp.float32)
+    h, w = img.shape
+    r = radius
+    ext = [int(math.floor(math.sqrt(r * r - t * t))) for t in range(-r, r + 1)]
+    # horizontal prefix sums, padded so every shifted read is in-bounds
+    px = jnp.pad(img, ((r, r), (r + 1, r)))
+    ix = jnp.cumsum(px, axis=1)  # [h+2r, w+2r+1]
+    m01 = jnp.zeros((h, w), jnp.float32)
+    for i, v in enumerate(range(-r, r + 1)):
+        if v == 0:
+            continue
+        u = ext[i]
+        # rowsum_v(y, x) = sum_{du=-u..u} img[y+v, x+du]
+        hi = ix[r + v : r + v + h, r + 1 + u : r + 1 + u + w]
+        lo = ix[r + v : r + v + h, r - u : r - u + w]
+        m01 = m01 + float(v) * (hi - lo)
+    py = jnp.pad(img, ((r + 1, r), (r, r)))
+    iy = jnp.cumsum(py, axis=0)
+    m10 = jnp.zeros((h, w), jnp.float32)
+    for i, u in enumerate(range(-r, r + 1)):
+        if u == 0:
+            continue
+        v = ext[i]
+        hi = iy[r + 1 + v : r + 1 + v + h, r + u : r + u + w]
+        lo = iy[r - v : r - v + h, r + u : r + u + w]
+        m10 = m10 + float(u) * (hi - lo)
+    return jnp.arctan2(m01, m10)
+
+
 def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     """Intensity-centroid orientation per keypoint, radians in (-pi, pi].
 
     Analog of ICAngles (orb.cpp:176-210) / the IC_Angle CUDA kernel
     (cuda/orb.cu:166-230): angle = atan2(m01, m10) over a circular patch
-    of radius 15.
+    of radius 15. Computed from the dense moment maps (see ic_angle_maps)
+    plus one scalar gather per keypoint.
     """
-    wu, wv, _ = _ic_weights(HALF_PATCH)
-    patches = extract_patches(img, xy, HALF_PATCH)  # [N, 31, 31]
-    m10 = jnp.sum(patches * jnp.asarray(wu), axis=(1, 2))
-    m01 = jnp.sum(patches * jnp.asarray(wv), axis=(1, 2))
-    return jnp.arctan2(m01, m10)
+    amap = ic_angle_maps(img)
+    h, w = img.shape
+    xi = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), 0, w - 1)
+    yi = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), 0, h - 1)
+    return amap[yi, xi]
 
 
 def brief_descriptors(
@@ -122,10 +162,14 @@ def brief_descriptors(
     # rotate taps (reference rotation convention, orb.cpp GET_VALUE)
     rx = jnp.round(px[None] * cos - py[None] * sin).astype(jnp.int32)  # [N,512]
     ry = jnp.round(px[None] * sin + py[None] * cos).astype(jnp.int32)
-    size = 2 * PATCH_RADIUS + 1
-    patches = extract_patches(blurred, xy, PATCH_RADIUS).reshape(xy.shape[0], -1)
-    flat = (ry + PATCH_RADIUS) * size + (rx + PATCH_RADIUS)  # [N, 512]
-    vals = jnp.take_along_axis(patches, flat, axis=1)  # [N, 512]
+    # one flat gather of N*512 pixels straight from the level image —
+    # cheaper than per-keypoint patch slices + a second in-patch gather
+    h, w = blurred.shape
+    cx = jnp.round(xy[:, 0:1]).astype(jnp.int32)
+    cy = jnp.round(xy[:, 1:2]).astype(jnp.int32)
+    xi = jnp.clip(cx + rx, 0, w - 1)
+    yi = jnp.clip(cy + ry, 0, h - 1)
+    vals = blurred.reshape(-1)[yi * w + xi]  # [N, 512]
     t1, t2 = vals[:, :PATTERN_BITS], vals[:, PATTERN_BITS:]
     bits = (t1 < t2).astype(jnp.uint32)  # [N, 256]
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
