@@ -69,14 +69,15 @@ def sep_filter2d(img: jnp.ndarray, ky: jnp.ndarray, kx: jnp.ndarray) -> jnp.ndar
     return out
 
 
-def gaussian_kernel1d(ksize: int, sigma: float) -> jnp.ndarray:
+def gaussian_kernel1d(ksize: int, sigma: float) -> np.ndarray:
     """Matches cv::getGaussianKernel (reference: imgproc/src/smooth.dispatch.cpp):
-    sigma<=0 -> 0.3*((ksize-1)*0.5 - 1) + 0.8."""
+    sigma<=0 -> 0.3*((ksize-1)*0.5 - 1) + 0.8. Returns a NumPy array:
+    filter taps are static metadata, never traced values."""
     if sigma <= 0:
         sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8
-    x = jnp.arange(ksize, dtype=jnp.float32) - (ksize - 1) / 2.0
-    k = jnp.exp(-(x * x) / (2.0 * sigma * sigma))
-    return k / jnp.sum(k)
+    x = np.arange(ksize, dtype=np.float32) - (ksize - 1) / 2.0
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return k / np.sum(k)
 
 
 def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.ndarray:
@@ -90,7 +91,7 @@ def gaussian_blur(img: jnp.ndarray, ksize: int = 7, sigma: float = 2.0) -> jnp.n
 
 
 def box_filter(img: jnp.ndarray, ksize: int) -> jnp.ndarray:
-    k = jnp.full((ksize,), 1.0 / ksize, jnp.float32)
+    k = np.full((ksize,), 1.0 / ksize, np.float32)
     return sep_filter2d(img, k, k)
 
 
@@ -162,8 +163,8 @@ def scharr_derivatives(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(dx, dy) with the 3x3 Scharr operator, matching the LK pyramid's
     `calcSharrDeriv` (reference: video/src/lkpyramid.cpp:55 — smooth
     [3,10,3]/32, diff [-1,0,1])."""
-    smooth = jnp.array([3.0, 10.0, 3.0], jnp.float32) / 32.0
-    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+    smooth = np.array([3.0, 10.0, 3.0], np.float32) / 32.0
+    diff = np.array([-1.0, 0.0, 1.0], np.float32)
     dx = sep_filter2d(img, smooth, diff)
     dy = sep_filter2d(img, diff, smooth)
     return dx, dy
@@ -172,11 +173,11 @@ def scharr_derivatives(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 def sobel_derivatives(img: jnp.ndarray, ksize: int = 3) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(dx, dy) Sobel (reference: imgproc/src/deriv.cpp)."""
     if ksize == 3:
-        smooth = jnp.array([1.0, 2.0, 1.0], jnp.float32)
-        diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
+        smooth = np.array([1.0, 2.0, 1.0], np.float32)
+        diff = np.array([-1.0, 0.0, 1.0], np.float32)
     elif ksize == 5:
-        smooth = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32)
-        diff = jnp.array([-1.0, -2.0, 0.0, 2.0, 1.0], jnp.float32)
+        smooth = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32)
+        diff = np.array([-1.0, -2.0, 0.0, 2.0, 1.0], np.float32)
     else:
         raise ValueError(f"unsupported sobel ksize {ksize}")
     dx = sep_filter2d(img, smooth, diff)
@@ -227,8 +228,8 @@ def harris_response(
     (imgproc/src/corner.cpp:638).
     """
     if deriv == "harris_orb":
-        dfilt = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
-        one = jnp.array([1.0], jnp.float32)
+        dfilt = np.array([-1.0, 0.0, 1.0], np.float32)
+        one = np.array([1.0], np.float32)
         ix = sep_filter2d(img, one, dfilt)
         iy = sep_filter2d(img, dfilt, one)
     else:
@@ -246,10 +247,9 @@ def harris_response(
 def min_eig_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     """cv::cornerMinEigenVal analog (reference: imgproc/src/corner.cpp:554)."""
     ix, iy = sobel_derivatives(img)
-    ones = jnp.ones((block_size,), jnp.float32)
-    a = sep_filter2d(ix * ix, ones, ones) * 0.5
-    c = sep_filter2d(iy * iy, ones, ones) * 0.5
-    b = sep_filter2d(ix * iy, ones, ones) * 0.5
+    a = box_sum_integral(ix * ix, block_size) * 0.5
+    c = box_sum_integral(iy * iy, block_size) * 0.5
+    b = box_sum_integral(ix * iy, block_size) * 0.5
     return (a + c) - jnp.sqrt((a - c) * (a - c) + b * b)
 
 

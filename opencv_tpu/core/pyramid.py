@@ -17,6 +17,7 @@ import math
 from typing import NamedTuple, Sequence
 
 import jax.numpy as jnp
+import numpy as np
 
 from opencv_tpu.core import imgproc
 
@@ -65,7 +66,7 @@ def build_pyramid(
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """cv::pyrDown analog (reference: imgproc/src/pyramids.cpp:1222):
     5-tap Gaussian [1,4,6,4,1]/16 then 2x decimation."""
-    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 16.0
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 16.0
     blurred = imgproc.sep_filter2d(img, k, k)
     return blurred[..., ::2, ::2]
 
@@ -76,7 +77,7 @@ def pyr_up(img: jnp.ndarray) -> jnp.ndarray:
     h, w = img.shape[-2:]
     up = jnp.zeros(img.shape[:-2] + (h * 2, w * 2), jnp.float32)
     up = up.at[..., ::2, ::2].set(img)
-    k = jnp.array([1.0, 4.0, 6.0, 4.0, 1.0], jnp.float32) / 8.0  # 2x per axis
+    k = np.array([1.0, 4.0, 6.0, 4.0, 1.0], np.float32) / 8.0  # 2x per axis
     return imgproc.sep_filter2d(up, k, k)
 
 

@@ -78,8 +78,9 @@ def cell_histograms(img: jnp.ndarray, cfg: HOGConfig = HOGConfig()) -> jnp.ndarr
     h, w = img.shape
     hc, wc = h // cfg.cell, w // cfg.cell
     img = img[: hc * cfg.cell, : wc * cfg.cell]
-    diff = jnp.array([-1.0, 0.0, 1.0], jnp.float32)
-    one = jnp.array([1.0], jnp.float32)
+    import numpy as _np
+    diff = _np.array([-1.0, 0.0, 1.0], _np.float32)
+    one = _np.array([1.0], _np.float32)
     dx = imgproc.sep_filter2d(img, one, diff)
     dy = imgproc.sep_filter2d(img, diff, one)
     mag = jnp.sqrt(dx * dx + dy * dy)
