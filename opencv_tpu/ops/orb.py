@@ -145,35 +145,92 @@ def ic_angles(img: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
     return amap[yi, xi]
 
 
+ANGLE_BINS = 32  # rotation quantization of the matmul path (11.25 deg;
+# the original ORB paper's lookup used 12 deg — orb.cpp rotates exactly,
+# we expose both)
+
+
+@functools.cache
+def _binned_selection_matrix() -> np.ndarray:
+    """[ANGLE_BINS * 512, patch_area] one-hot tap-selection matrix.
+
+    Row (q*512 + k) selects the patch pixel hit by tap k rotated by bin
+    angle q. Turns the per-keypoint descriptor gather into one big MXU
+    matmul (see brief_descriptors)."""
+    pat = brief_pattern()
+    px = np.concatenate([pat[:, 0], pat[:, 2]]).astype(np.float64)
+    py = np.concatenate([pat[:, 1], pat[:, 3]]).astype(np.float64)
+    size = 2 * PATCH_RADIUS + 1
+    S = np.zeros((ANGLE_BINS * 2 * PATTERN_BITS, size * size), np.float32)
+    for q in range(ANGLE_BINS):
+        a = 2.0 * math.pi * q / ANGLE_BINS - math.pi
+        c, s = math.cos(a), math.sin(a)
+        rx = np.round(px * c - py * s).astype(np.int64) + PATCH_RADIUS
+        ry = np.round(px * s + py * c).astype(np.int64) + PATCH_RADIUS
+        rows = q * 2 * PATTERN_BITS + np.arange(2 * PATTERN_BITS)
+        S[rows, ry * size + rx] = 1.0
+    return S
+
+
+def _pack_bits(t1: jnp.ndarray, t2: jnp.ndarray) -> jnp.ndarray:
+    bits = (t1 < t2).astype(jnp.uint32)  # [N, 256]
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    return jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=2, dtype=jnp.uint32)
+
+
 def brief_descriptors(
-    blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray
+    blurred: jnp.ndarray, xy: jnp.ndarray, angle: jnp.ndarray,
+    method: str = "auto",
 ) -> jnp.ndarray:
     """Rotated 256-bit BRIEF descriptors, packed as uint32 [N, 8].
 
     Analog of computeOrbDescriptors WTA_K=2 (orb.cpp:214-345): each tap
     position is rotated by the keypoint angle, rounded to the nearest
     pixel of the blurred level image, and pairs are compared.
+
+    method:
+      "gather" — exact per-keypoint rotation, one flat N*512 gather
+                 (random gathers are slow on TPU: ~7 ms at N=2000);
+      "binned" — angle quantized to ANGLE_BINS; tap selection becomes a
+                 patches @ one-hot matmul on the MXU (<1 ms) followed by
+                 a contiguous per-row slice;
+      "auto"   — binned on TPU, gather elsewhere.
     """
-    pat = jnp.asarray(brief_pattern())  # [256, 4]
-    px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)  # [512]
-    py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
-    cos = jnp.cos(angle)[:, None]  # [N, 1]
-    sin = jnp.sin(angle)[:, None]
-    # rotate taps (reference rotation convention, orb.cpp GET_VALUE)
-    rx = jnp.round(px[None] * cos - py[None] * sin).astype(jnp.int32)  # [N,512]
-    ry = jnp.round(px[None] * sin + py[None] * cos).astype(jnp.int32)
-    # one flat gather of N*512 pixels straight from the level image —
-    # cheaper than per-keypoint patch slices + a second in-patch gather
-    h, w = blurred.shape
-    cx = jnp.round(xy[:, 0:1]).astype(jnp.int32)
-    cy = jnp.round(xy[:, 1:2]).astype(jnp.int32)
-    xi = jnp.clip(cx + rx, 0, w - 1)
-    yi = jnp.clip(cy + ry, 0, h - 1)
-    vals = blurred.reshape(-1)[yi * w + xi]  # [N, 512]
-    t1, t2 = vals[:, :PATTERN_BITS], vals[:, PATTERN_BITS:]
-    bits = (t1 < t2).astype(jnp.uint32)  # [N, 256]
-    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
-    return jnp.sum(bits.reshape(-1, 8, 32) * weights, axis=2, dtype=jnp.uint32)
+    if method == "auto":
+        method = "binned" if jax.default_backend() == "tpu" else "gather"
+    n = xy.shape[0]
+    if method == "gather":
+        pat = jnp.asarray(brief_pattern())  # [256, 4]
+        px = jnp.concatenate([pat[:, 0], pat[:, 2]]).astype(jnp.float32)
+        py = jnp.concatenate([pat[:, 1], pat[:, 3]]).astype(jnp.float32)
+        cos = jnp.cos(angle)[:, None]
+        sin = jnp.sin(angle)[:, None]
+        rx = jnp.round(px[None] * cos - py[None] * sin).astype(jnp.int32)
+        ry = jnp.round(px[None] * sin + py[None] * cos).astype(jnp.int32)
+        h, w = blurred.shape
+        cx = jnp.round(xy[:, 0:1]).astype(jnp.int32)
+        cy = jnp.round(xy[:, 1:2]).astype(jnp.int32)
+        xi = jnp.clip(cx + rx, 0, w - 1)
+        yi = jnp.clip(cy + ry, 0, h - 1)
+        vals = blurred.reshape(-1)[yi * w + xi]  # [N, 512]
+    else:
+        S = jnp.asarray(_binned_selection_matrix(), jnp.bfloat16)  # [B*512, A]
+        patches = extract_patches(blurred, xy, PATCH_RADIUS).reshape(n, -1)
+        all_vals = jnp.dot(
+            patches.astype(jnp.bfloat16), S.T, preferred_element_type=jnp.float32
+        )  # [N, B*512]
+        qbin = jnp.round(
+            (angle + math.pi) * (ANGLE_BINS / (2.0 * math.pi))
+        ).astype(jnp.int32) % ANGLE_BINS
+        av = all_vals.reshape(n, ANGLE_BINS, 2 * PATTERN_BITS)
+
+        def pick(row, q):
+            return jax.lax.dynamic_slice(
+                row, (q, jnp.int32(0)), (1, 2 * PATTERN_BITS)
+            )[0]
+
+        vals = jax.vmap(pick)(av, qbin)  # [N, 512]
+    return _pack_bits(vals[:, :PATTERN_BITS], vals[:, PATTERN_BITS:])
 
 
 def subpixel_refine(score: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:

@@ -143,3 +143,18 @@ def test_detect_and_compute_matches_across_shift(rng):
     assert abs(med[0] - 6.0) < 1.0 and abs(med[1] - 4.0) < 1.0
     inlier = (np.abs(d - [6, 4]) < 2).all(1).mean()
     assert inlier > 0.7
+
+
+def test_binned_descriptors_close_to_exact(rng):
+    """The TPU matmul path (angle-binned rotation) must agree with the
+    exact gather path up to quantization noise."""
+    img = make_textured(rng, 128, 128)
+    from opencv_tpu.core import imgproc as ip
+
+    blur = ip.gaussian_blur(jnp.asarray(img), 7, 2.0)
+    xy = np.array([[40.0, 50.0], [70.0, 60.0], [55.0, 80.0], [64.0, 40.0]], np.float32)
+    ang = np.asarray(orb.ic_angles(jnp.asarray(img), jnp.asarray(xy)))
+    d_exact = orb.brief_descriptors(blur, jnp.asarray(xy), jnp.asarray(ang), method="gather")
+    d_binned = orb.brief_descriptors(blur, jnp.asarray(xy), jnp.asarray(ang), method="binned")
+    dist = np.asarray(matching.hamming_matrix(d_exact, d_binned))
+    assert np.diag(dist).max() <= 40, np.diag(dist)
