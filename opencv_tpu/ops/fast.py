@@ -61,11 +61,21 @@ def _circular_window_min(x: jnp.ndarray, n: int) -> jnp.ndarray:
     return get(n)
 
 
-def fast_score(img: jnp.ndarray, arc_length: int = 9) -> jnp.ndarray:
+def fast_score(
+    img: jnp.ndarray, arc_length: int = 9, use_pallas: bool | str = "auto"
+) -> jnp.ndarray:
     """Per-pixel FAST corner score V (see module docstring). f32 [H, W].
 
     Pixels within 3 px of the border score -inf (no full circle).
+    On TPU the fused Pallas strip kernel (ops/pallas/fast_kernel.py) is
+    used by default — same values, ~20x less HBM traffic.
     """
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas:
+        from opencv_tpu.ops.pallas.fast_kernel import fast_score_pallas
+
+        return fast_score_pallas(img, arc_length)
     img = img.astype(jnp.float32)
     neg = jnp.float32(-1e9)
     taps = jnp.stack(

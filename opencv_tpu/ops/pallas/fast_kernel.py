@@ -1,0 +1,121 @@
+"""Pallas TPU kernel: fused FAST corner score.
+
+The XLA formulation (ops/fast.py) materializes 16 shifted copies of the
+image plus a shift-min tree — ~40 HBM passes. This kernel strip-mines
+the image through VMEM with a 3-row halo: each grid step DMAs one strip,
+computes every circle tap as an in-VMEM slice/lane-roll, runs the
+min-tree in registers, and writes one score strip — 2 HBM passes total.
+
+This is the stencil analog of the one-thread-per-pixel CUDA kernel
+(cudafeatures2d/src/cuda/fast.cu:219 calcKeypoints) with the LUT bit
+trick replaced by the arc max-min formulation (see ops/fast.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from opencv_tpu.ops.fast import CIRCLE16
+
+_NEG = -1e9
+
+
+def _window_min(arrs: list, n: int, _memo=None) -> list:
+    """out[i] = min(arrs[i], ..., arrs[(i+n-1) % 16]) — circular window
+    minima over the 16 ring arrays via the doubling identity
+    w(a+b)[i] = min(w(a)[i], w(b)[i+a])."""
+    if _memo is None:
+        _memo = {}
+    if n in _memo:
+        return _memo[n]
+    if n == 1:
+        out = list(arrs)
+    else:
+        half = 1 << (n.bit_length() - 1)
+        if half == n:
+            prev = _window_min(arrs, n // 2, _memo)
+            out = [jnp.minimum(prev[i], prev[(i + n // 2) % 16]) for i in range(16)]
+        else:
+            a = _window_min(arrs, half, _memo)
+            b = _window_min(arrs, n - half, _memo)
+            out = [jnp.minimum(a[i], b[(i + half) % 16]) for i in range(16)]
+    _memo[n] = out
+    return out
+
+
+def _fast_strip_kernel(img_ref, out_ref, buf, sem, *, th: int, arc: int):
+    i = pl.program_id(0)
+    # strip i covers rows [i*th, i*th+th) of the output; input is padded
+    # by 4 rows on each side (Mosaic DMA slices must be 8-row aligned,
+    # so the halo is 4 even though the stencil only needs 3)
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * th, th + 8), :], buf, sem
+    )
+    dma.start()
+    dma.wait()
+    center = buf[4 : 4 + th, :]
+    width = buf.shape[1]
+
+    def taps(sign):
+        out = []
+        for (dx, dy) in CIRCLE16:
+            rows = buf[4 + dy : 4 + dy + th, :]
+            # pltpu.roll wants non-negative shifts; (-dx) mod width is
+            # the same circular move (wrap lands in the masked border)
+            tap = pltpu.roll(rows, (-dx) % width, axis=1) if dx != 0 else rows
+            out.append(sign * (tap - center))
+        return out
+
+    def arc_score(arrs):
+        mins = _window_min(arrs, arc)
+        out = mins[0]
+        for a in mins[1:]:
+            out = jnp.maximum(out, a)
+        return out
+
+    # bright then dark sequentially: keeps the peak number of live
+    # [th, W] temporaries (and thus the Mosaic VMEM stack) halved
+    vb = arc_score(taps(1.0))
+    vd = arc_score(taps(-1.0))
+    out_ref[:] = jnp.maximum(vb, vd)
+
+
+def fast_score_pallas(
+    img: jnp.ndarray, arc_length: int = 9, strip: int = 16, interpret: bool = False
+) -> jnp.ndarray:
+    """Drop-in for ops.fast.fast_score on TPU (border/padding handled
+    here; column wrap-around from the lane roll lands in the 3-px border
+    that is invalidated anyway)."""
+    h, w = img.shape
+    img = img.astype(jnp.float32)
+    wp = ((w + 127) // 128) * 128
+    hp = ((h + strip - 1) // strip) * strip
+    padded = jnp.zeros((hp + 8, wp), jnp.float32)
+    padded = jax.lax.dynamic_update_slice(padded, img, (4, 0))
+
+    grid = (hp // strip,)
+    kernel = functools.partial(_fast_strip_kernel, th=strip, arc=arc_length)
+    score = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((strip + 8, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(padded)
+    score = score[:h, :w]
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    return jnp.where(inside, score, jnp.float32(_NEG))
