@@ -94,6 +94,30 @@ def fast_score(
     return jnp.where(inside, score, neg)
 
 
+def fast_corners(
+    img: jnp.ndarray,
+    threshold: float,
+    arc_length: int = 9,
+    nonmax_suppression: bool = True,
+    use_pallas: bool | str = "auto",
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(score [H,W], corner_mask [H,W]) — the shared detection front half
+    of cv::FAST and ORB's per-level detection. On TPU the score + NMS
+    stencils run fused in one Pallas pass."""
+    if use_pallas == "auto":
+        use_pallas = jax.default_backend() == "tpu"
+    if use_pallas and nonmax_suppression:
+        from opencv_tpu.ops.pallas.fast_kernel import fast_corners_pallas
+
+        score, nmsed = fast_corners_pallas(img, threshold, arc_length)
+        return score, nmsed > -1e8
+    score = fast_score(img, arc_length, use_pallas=use_pallas)
+    corner = score > threshold
+    if nonmax_suppression:
+        corner &= imgproc.nms_2d(jnp.where(corner, score, -jnp.inf))
+    return score, corner
+
+
 def fast_detect(
     img: jnp.ndarray,
     max_keypoints: int,
@@ -109,11 +133,7 @@ def fast_detect(
     `border`: minimum distance from the image edge (>= 3).
     """
     h, w = img.shape
-    score = fast_score(img, arc_length)
-    corner = score > threshold
-    if nonmax_suppression:
-        nms_input = jnp.where(corner, score, -jnp.inf)
-        corner &= imgproc.nms_2d(nms_input)
+    score, corner = fast_corners(img, threshold, arc_length, nonmax_suppression)
     if border > 3:
         yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

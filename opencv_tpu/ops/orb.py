@@ -293,9 +293,7 @@ def detect_and_compute(
         h, w = level.shape
         border = max(config.edge_threshold, PATCH_RADIUS + 1)
 
-        score = fast_mod.fast_score(level)
-        corner = score > config.fast_threshold
-        corner &= imgproc.nms_2d(jnp.where(corner, score, -jnp.inf))
+        score, corner = fast_mod.fast_corners(level, config.fast_threshold)
         yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
         corner &= (yy >= border) & (yy < h - border) & (xx >= border) & (xx < w - border)

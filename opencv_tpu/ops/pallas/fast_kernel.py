@@ -85,6 +85,106 @@ def _fast_strip_kernel(img_ref, out_ref, buf, sem, *, th: int, arc: int):
     out_ref[:] = jnp.maximum(vb, vd)
 
 
+def _fast_nms_strip_kernel(img_ref, score_ref, nms_ref, buf, sem, *, th: int,
+                           arc: int, threshold: float, h: int, w: int):
+    """Like _fast_strip_kernel but also emits the corner-thresholded,
+    3x3-NMS'd score (the full FAST detection stencil in one pass). Needs
+    score on th+2 rows, so the circle taps span dy in [-4, 4] — exactly
+    the 4-row halo."""
+    i = pl.program_id(0)
+    dma = pltpu.make_async_copy(img_ref.at[pl.ds(i * th, th + 8), :], buf, sem)
+    dma.start()
+    dma.wait()
+    the = th + 2  # extended row count (one NMS halo row each side)
+    center = buf[3 : 3 + the, :]
+    width = buf.shape[1]
+
+    def taps(sign):
+        out = []
+        for (dx, dy) in CIRCLE16:
+            rows = buf[3 + dy : 3 + dy + the, :]
+            tap = pltpu.roll(rows, (-dx) % width, axis=1) if dx != 0 else rows
+            out.append(sign * (tap - center))
+        return out
+
+    def arc_score(arrs):
+        mins = _window_min(arrs, arc)
+        out = mins[0]
+        for a in mins[1:]:
+            out = jnp.maximum(out, a)
+        return out
+
+    s_ext = jnp.maximum(arc_score(taps(1.0)), arc_score(taps(-1.0)))  # [th+2, W]
+    score_ref[:] = s_ext[1:-1, :]
+    # invalidate the global 3-px border BEFORE NMS: border rows/cols carry
+    # garbage scores (zero padding / lane wrap) that must never suppress a
+    # valid neighbour (the XLA path applies the same mask)
+    grow = (
+        jax.lax.broadcasted_iota(jnp.int32, s_ext.shape, 0) + i * th - 1
+    )
+    gcol = jax.lax.broadcasted_iota(jnp.int32, s_ext.shape, 1)
+    valid = (grow >= 3) & (grow < h - 3) & (gcol >= 3) & (gcol < w - 3)
+    masked = jnp.where(valid & (s_ext > threshold), s_ext, jnp.float32(_NEG))
+    cur = masked[1:-1, :]
+    keep = cur > jnp.float32(_NEG)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nb = masked[1 + dy : 1 + dy + th, :]
+            if dx != 0:
+                nb = pltpu.roll(nb, (-dx) % width, axis=1)
+            # tie-break toward the earlier (top-left) pixel, matching
+            # imgproc.nms_2d
+            keep = keep & ((cur > nb) if (dy, dx) < (0, 0) else (cur >= nb))
+    nms_ref[:] = jnp.where(keep, cur, jnp.float32(_NEG))
+
+
+def fast_corners_pallas(
+    img: jnp.ndarray, threshold: float, arc_length: int = 9,
+    strip: int = 16, interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused FAST detection: returns (score, nms_score) where nms_score
+    is > -1e8 exactly at thresholded NMS survivors. One kernel pass."""
+    h, w = img.shape
+    img = img.astype(jnp.float32)
+    wp = ((w + 127) // 128) * 128
+    hp = ((h + strip - 1) // strip) * strip
+    padded = jnp.zeros((hp + 8, wp), jnp.float32)
+    padded = jax.lax.dynamic_update_slice(padded, img, (4, 0))
+
+    grid = (hp // strip,)
+    kernel = functools.partial(
+        _fast_nms_strip_kernel, th=strip, arc=arc_length,
+        threshold=float(threshold), h=h, w=w,
+    )
+    score, nms = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=[
+            pl.BlockSpec((strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((strip + 8, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(padded)
+    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    inside = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    neg = jnp.float32(_NEG)
+    score = jnp.where(inside, score[:h, :w], neg)
+    nms = jnp.where(inside, nms[:h, :w], neg)
+    return score, nms
+
+
 def fast_score_pallas(
     img: jnp.ndarray, arc_length: int = 9, strip: int = 16, interpret: bool = False
 ) -> jnp.ndarray:

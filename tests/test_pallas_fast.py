@@ -29,3 +29,17 @@ def test_pallas_fast_arc12(rng):
     )
     interior = (slice(3, -3), slice(3, -3))
     np.testing.assert_array_equal(got[interior], want[interior])
+
+
+def test_fused_corners_matches_xla(rng):
+    img = rng.integers(0, 255, size=(64, 140)).astype(np.float32)
+    score_x, corner_x = fast.fast_corners(jnp.asarray(img), 20.0, use_pallas=False)
+    score_p, nmsed = fast_kernel.fast_corners_pallas(
+        jnp.asarray(img), 20.0, strip=16, interpret=True
+    )
+    corner_p = np.asarray(nmsed) > -1e8
+    interior = (slice(3, -3), slice(3, -3))
+    np.testing.assert_array_equal(
+        np.asarray(score_p)[interior], np.asarray(score_x)[interior]
+    )
+    np.testing.assert_array_equal(corner_p[interior], np.asarray(corner_x)[interior])
