@@ -14,12 +14,22 @@ config). vs_baseline = our_fps / 100.
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
 import jax
-import jax.numpy as jnp
+
+# persistent compilation cache: the Pallas kernels cost minutes through
+# the remote-compile tunnel on first build; cached runs start in seconds
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("OPENCV_TPU_CACHE", os.path.expanduser("~/.cache/opencv_tpu_jax")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp  # noqa: E402
 
 BASELINE_FPS = 100.0
 
