@@ -37,6 +37,16 @@ CIRCLE16 = (
     (0, -3), (1, -3), (2, -2), (3, -1), (3, 0), (3, 1), (2, 2), (1, 3),
     (0, 3), (-1, 3), (-2, 2), (-3, 1), (-3, 0), (-3, -1), (-2, -2), (-1, -3),
 )
+# the smaller rings of FastFeatureDetector TYPE_7_12 and TYPE_5_8
+# (features2d/src/fast.cpp FAST_t<12>/<8> via makeOffsets patterns)
+CIRCLE12 = (
+    (0, -2), (1, -2), (2, -1), (2, 0), (2, 1), (1, 2),
+    (0, 2), (-1, 2), (-2, 1), (-2, 0), (-2, -1), (-1, -2),
+)
+CIRCLE8 = (
+    (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1), (-1, 0), (-1, -1),
+)
+PATTERNS = {16: (CIRCLE16, 9, 3), 12: (CIRCLE12, 7, 2), 8: (CIRCLE8, 5, 1)}
 
 
 def _circular_window_min(x: jnp.ndarray, n: int) -> jnp.ndarray:
@@ -62,7 +72,8 @@ def _circular_window_min(x: jnp.ndarray, n: int) -> jnp.ndarray:
 
 
 def fast_score(
-    img: jnp.ndarray, arc_length: int = 9, use_pallas: bool | str = "auto"
+    img: jnp.ndarray, arc_length: int | None = None, pattern_size: int = 16,
+    use_pallas: bool | str = "auto",
 ) -> jnp.ndarray:
     """Per-pixel FAST corner score V (see module docstring). f32 [H, W].
 
@@ -72,32 +83,38 @@ def fast_score(
     """
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas:
+    if use_pallas and pattern_size == 16:
         from opencv_tpu.ops.pallas.fast_kernel import fast_score_pallas
 
-        return fast_score_pallas(img, arc_length)
+        return fast_score_pallas(img, 9 if arc_length is None else arc_length)
+    circle, default_arc, radius = PATTERNS[pattern_size]
+    if arc_length is None:
+        arc_length = default_arc
     img = img.astype(jnp.float32)
     neg = jnp.float32(-1e9)
     taps = jnp.stack(
-        [imgproc.shift2d(img, dy, dx, fill=0.0) for (dx, dy) in CIRCLE16], axis=0
-    )  # [16, H, W]
+        [imgproc.shift2d(img, dy, dx, fill=0.0) for (dx, dy) in circle], axis=0
+    )  # [P, H, W]
     diff_bright = taps - img[None]  # tap - center
     diff_dark = -diff_bright  # center - tap
     vb = jnp.max(_circular_window_min(diff_bright, arc_length), axis=0)
     vd = jnp.max(_circular_window_min(diff_dark, arc_length), axis=0)
     score = jnp.maximum(vb, vd)
-    # invalidate the 3-px frame where circle taps fall outside the image
+    # invalidate the frame where circle taps fall outside the image
     h, w = img.shape
     yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inside = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    inside = (
+        (yy >= radius) & (yy < h - radius) & (xx >= radius) & (xx < w - radius)
+    )
     return jnp.where(inside, score, neg)
 
 
 def fast_corners(
     img: jnp.ndarray,
     threshold: float,
-    arc_length: int = 9,
+    arc_length: int | None = None,
+    pattern_size: int = 16,
     nonmax_suppression: bool = True,
     use_pallas: bool | str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -106,12 +123,14 @@ def fast_corners(
     stencils run fused in one Pallas pass."""
     if use_pallas == "auto":
         use_pallas = jax.default_backend() == "tpu"
-    if use_pallas and nonmax_suppression:
+    if use_pallas and nonmax_suppression and pattern_size == 16:
         from opencv_tpu.ops.pallas.fast_kernel import fast_corners_pallas
 
-        score, nmsed = fast_corners_pallas(img, threshold, arc_length)
+        score, nmsed = fast_corners_pallas(
+            img, threshold, 9 if arc_length is None else arc_length
+        )
         return score, nmsed > -1e8
-    score = fast_score(img, arc_length, use_pallas=use_pallas)
+    score = fast_score(img, arc_length, pattern_size, use_pallas=use_pallas)
     corner = score > threshold
     if nonmax_suppression:
         corner &= imgproc.nms_2d(jnp.where(corner, score, -jnp.inf))
@@ -123,7 +142,8 @@ def fast_detect(
     max_keypoints: int,
     threshold: float = 20.0,
     nonmax_suppression: bool = True,
-    arc_length: int = 9,
+    arc_length: int | None = None,
+    pattern_size: int = 16,
     border: int = 3,
 ) -> KeyPoints:
     """FAST keypoints (analog of cv::FAST, features2d/src/fast.cpp:492).
@@ -133,7 +153,9 @@ def fast_detect(
     `border`: minimum distance from the image edge (>= 3).
     """
     h, w = img.shape
-    score, corner = fast_corners(img, threshold, arc_length, nonmax_suppression)
+    score, corner = fast_corners(
+        img, threshold, arc_length, pattern_size, nonmax_suppression
+    )
     if border > 3:
         yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)

@@ -1,0 +1,132 @@
+"""Shape analysis (reference `shape` module analogs): Hausdorff distance
+(shape/src/haus_dis.cpp), shape-context distance (sc_dis.cpp), and
+thin-plate-spline transformer (tps_trans.cpp).
+
+TPU-native: point-set distances are masked pairwise-distance matmuls;
+shape-context histograms are one-hot bin scatter-sums; TPS solves one
+dense kernel system (MXU) and evaluates as matmuls. The assignment step
+of the shape-context distance reuses the native Hungarian
+(tbd/assignment.py).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple
+
+import numpy as np
+import jax.numpy as jnp
+from jax import lax
+
+_P32 = lax.Precision.HIGHEST
+
+
+def _pairwise_dist(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    a2 = jnp.sum(a * a, axis=1, keepdims=True)
+    b2 = jnp.sum(b * b, axis=1)[None, :]
+    return jnp.sqrt(
+        jnp.maximum(a2 + b2 - 2.0 * jnp.dot(a, b.T, precision=_P32), 0.0)
+    )
+
+
+def hausdorff_distance(
+    a: jnp.ndarray, b: jnp.ndarray, rank_quantile: float = 1.0
+) -> jnp.ndarray:
+    """Symmetric (partial) Hausdorff distance between point sets [N,2]/[M,2].
+    rank_quantile < 1 gives the partial variant used by
+    HausdorffDistanceExtractor (rankProportion)."""
+    d = _pairwise_dist(a.astype(jnp.float32), b.astype(jnp.float32))
+    ab = jnp.min(d, axis=1)  # each a to nearest b
+    ba = jnp.min(d, axis=0)
+
+    def ranked(v):
+        s = jnp.sort(v)
+        k = jnp.clip(
+            jnp.int32(rank_quantile * v.shape[0]) - 1, 0, v.shape[0] - 1
+        )
+        return s[k]
+
+    return jnp.maximum(ranked(ab), ranked(ba))
+
+
+def shape_context(
+    pts: jnp.ndarray, n_radial: int = 5, n_angular: int = 12,
+    r_min: float = 0.125, r_max: float = 2.0,
+) -> jnp.ndarray:
+    """Log-polar shape-context histograms [N, n_radial * n_angular]
+    (SCD::extractSCD analog), radii normalized by the mean pairwise
+    distance."""
+    pts = pts.astype(jnp.float32)
+    n = pts.shape[0]
+    diff = pts[None, :, :] - pts[:, None, :]  # [N, N, 2] (j - i)
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(diff * diff, axis=-1), 1e-18))
+    mean_d = jnp.sum(dist) / (n * (n - 1))
+    rnorm = dist / jnp.maximum(mean_d, 1e-9)
+    ang = jnp.arctan2(diff[..., 1], diff[..., 0]) % (2.0 * math.pi)
+    r_edges = jnp.exp(
+        jnp.linspace(jnp.log(r_min), jnp.log(r_max), n_radial + 1)
+    )
+    r_bin = jnp.sum(rnorm[..., None] >= r_edges[None, None, :], axis=-1) - 1
+    a_bin = jnp.floor(ang / (2.0 * math.pi) * n_angular).astype(jnp.int32)
+    a_bin = jnp.clip(a_bin, 0, n_angular - 1)
+    valid = (r_bin >= 0) & (r_bin < n_radial) & ~jnp.eye(n, dtype=bool)
+    flat_bin = jnp.clip(r_bin, 0, n_radial - 1) * n_angular + a_bin
+    one_hot = (
+        (flat_bin[..., None] == jnp.arange(n_radial * n_angular)[None, None, :])
+        & valid[..., None]
+    )
+    hist = jnp.sum(one_hot, axis=1).astype(jnp.float32)
+    return hist / jnp.maximum(jnp.sum(hist, axis=1, keepdims=True), 1.0)
+
+
+def shape_context_distance(a: jnp.ndarray, b: jnp.ndarray) -> float:
+    """Chi-squared shape-context cost with optimal assignment
+    (ShapeContextDistanceExtractor analog; requires len(a) == len(b))."""
+    from opencv_tpu.tbd.assignment import linear_assignment
+
+    ha = shape_context(a)
+    hb = shape_context(b)
+    num = (ha[:, None, :] - hb[None, :, :]) ** 2
+    den = ha[:, None, :] + hb[None, :, :]
+    cost = 0.5 * jnp.sum(num / jnp.maximum(den, 1e-9), axis=-1)
+    cost_np = np.asarray(cost, np.float64)
+    assign = linear_assignment(cost_np)
+    return float(np.mean([cost_np[i, j] for i, j in enumerate(assign) if j >= 0]))
+
+
+class TPSTransform(NamedTuple):
+    src: jnp.ndarray  # [N, 2] control points
+    weights: jnp.ndarray  # [N + 3, 2]
+
+
+def _tps_kernel(r2: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(r2 > 1e-12, 0.5 * r2 * jnp.log(jnp.maximum(r2, 1e-12)), 0.0)
+
+
+def fit_tps(
+    src: jnp.ndarray, dst: jnp.ndarray, regularization: float = 0.0
+) -> TPSTransform:
+    """Thin-plate spline mapping src -> dst (TpsTransformer analog)."""
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    n = src.shape[0]
+    d = _pairwise_dist(src, src)
+    K = _tps_kernel(d * d) + regularization * jnp.eye(n)
+    P = jnp.concatenate([jnp.ones((n, 1)), src], axis=1)  # [N,3]
+    top = jnp.concatenate([K, P], axis=1)
+    bot = jnp.concatenate([P.T, jnp.zeros((3, 3))], axis=1)
+    A = jnp.concatenate([top, bot], axis=0)  # [N+3, N+3]
+    rhs = jnp.concatenate([dst, jnp.zeros((3, 2))], axis=0)
+    w = jnp.linalg.solve(A, rhs)
+    return TPSTransform(src=src, weights=w)
+
+
+def apply_tps(tps: TPSTransform, pts: jnp.ndarray) -> jnp.ndarray:
+    pts = pts.astype(jnp.float32)
+    n = tps.src.shape[0]
+    d = _pairwise_dist(pts, tps.src)
+    U = _tps_kernel(d * d)  # [M, N]
+    P = jnp.concatenate([jnp.ones((pts.shape[0], 1)), pts], axis=1)
+    return jnp.dot(
+        jnp.concatenate([U, P], axis=1), tps.weights, precision=_P32
+    )

@@ -82,3 +82,36 @@ def test_fast_nonmax_suppression(rng):
     xy = np.asarray(kp.xy)[np.asarray(kp.valid)]
     assert (10.0, 10.0) in {tuple(p) for p in xy}
     assert (11.0, 10.0) not in {tuple(p) for p in xy}
+
+
+def test_fast_pattern_variants(rng):
+    """TYPE_7_12 and TYPE_5_8 analogs: smaller rings still fire on a
+    bright dot and agree with a naive check of their own pattern."""
+    img = np.zeros((20, 20), np.float32)
+    img[10, 10] = 100.0
+    for psize in (12, 8):
+        score = np.asarray(
+            fast.fast_score(jnp.asarray(img), pattern_size=psize, use_pallas=False)
+        )
+        assert score[10, 10] == 100.0
+    # naive check for pattern 12, arc 7 on random image
+    img = rng.integers(0, 255, size=(20, 24)).astype(np.float32)
+    score = np.asarray(
+        fast.fast_score(jnp.asarray(img), pattern_size=12, use_pallas=False)
+    )
+    t = 25.0
+    got = score > t
+    offs = fast.CIRCLE12
+    for y in range(2, 18):
+        for x in range(2, 22):
+            c = img[y, x]
+            taps = np.array([img[y + dy, x + dx] for (dx, dy) in offs])
+            def has_arc(b, arc=7):
+                ext = np.concatenate([b, b])
+                run = best = 0
+                for v in ext:
+                    run = run + 1 if v else 0
+                    best = max(best, run)
+                return best >= arc
+            want = has_arc(taps > c + t) or has_arc(taps < c - t)
+            assert got[y, x] == want, (y, x)
