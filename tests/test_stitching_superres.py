@@ -1,0 +1,83 @@
+"""Stitching (warpers, blending, pair stitcher) and BTV-L1 superres."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from opencv_tpu.core import imgproc
+from opencv_tpu.ops import superres
+from opencv_tpu.stitching import blend, stitcher, warpers
+
+
+def textured(rng, h, w):
+    img = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    return np.asarray(imgproc.gaussian_blur(jnp.asarray(img), 5, 1.2))
+
+
+def test_cylindrical_warp_center_fixed(rng):
+    img = textured(rng, 64, 96)
+    out = np.asarray(warpers.warp_cylindrical(jnp.asarray(img), f=200.0))
+    # near the optical axis the cylindrical warp is ~identity
+    np.testing.assert_allclose(out[28:36, 44:52], img[28:36, 44:52], atol=2.0)
+    assert out.shape == img.shape
+
+
+def test_spherical_warp_center_fixed(rng):
+    img = textured(rng, 64, 96)
+    out = np.asarray(warpers.warp_spherical(jnp.asarray(img), f=200.0))
+    np.testing.assert_allclose(out[28:36, 44:52], img[28:36, 44:52], atol=2.0)
+
+
+def test_feather_blend_smooth_seam():
+    a = jnp.full((40, 60), 100.0)
+    b = jnp.full((40, 60), 200.0)
+    ma = jnp.zeros((40, 60), bool).at[:, :35].set(True)
+    mb = jnp.zeros((40, 60), bool).at[:, 25:].set(True)
+    out = np.asarray(blend.feather_blend([a, b], [ma, mb]))
+    assert abs(out[20, 5] - 100.0) < 1.0
+    assert abs(out[20, 55] - 200.0) < 1.0
+    # transition is monotone and smooth in the overlap
+    seam = out[20, 25:35]
+    assert (np.diff(seam) >= -1e-3).all()
+
+
+def test_stitch_pair_translation():
+    rng = np.random.default_rng(1234)  # deterministic scene
+    scene = textured(rng, 140, 300)
+    # overlap must exceed 2x ORB's 31-px border filter or no keypoint
+    # survives in BOTH crops
+    img0 = scene[:, :200]
+    img1 = scene[:, 100:300]  # 100-px overlap
+    out = stitcher.stitch_pair(img0, img1, n_features=600)
+    # canvas should cover the full scene width
+    assert out.shape[1] >= 295
+    # overlap-interior content should match the scene
+    hh = slice(30, 110)
+    err = np.abs(out[hh, 20:180] - scene[hh, 20:180]).mean()
+    assert err < 6.0, err
+
+
+def test_btv_l1_superres_improves_over_bilinear(rng):
+    # high-res ground truth with structure
+    hr = textured(rng, 64, 64)
+    shifts = np.array([[0, 0], [0.5, 0.25], [0.25, 0.5], [0.5, 0.5]], np.float32)
+    lows = []
+    for dx, dy in shifts:
+        ys, xs = np.meshgrid(np.arange(64, dtype=np.float32),
+                             np.arange(64, dtype=np.float32), indexing="ij")
+        shifted = np.asarray(
+            imgproc.bilinear_sample(
+                jnp.asarray(hr), jnp.stack(
+                    [jnp.asarray(xs + dx * 2), jnp.asarray(ys + dy * 2)], axis=-1)
+            )
+        )
+        blurred = np.asarray(imgproc.gaussian_blur(jnp.asarray(shifted), 5, 1.0))
+        lows.append(blurred[::2, ::2])
+    lows = np.stack(lows)
+    sr = np.asarray(
+        superres.btv_l1_superres(jnp.asarray(lows), jnp.asarray(shifts), scale=2, iters=40)
+    )
+    bilinear = np.asarray(imgproc.resize_bilinear(jnp.asarray(lows[0]), 64, 64))
+    interior = slice(8, -8), slice(8, -8)
+    err_sr = np.abs(sr[interior] - hr[interior]).mean()
+    err_bi = np.abs(bilinear[interior] - hr[interior]).mean()
+    assert err_sr < err_bi * 0.95, (err_sr, err_bi)
