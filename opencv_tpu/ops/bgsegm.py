@@ -42,6 +42,48 @@ def init_state(img: jnp.ndarray, cfg: MOG2Config = MOG2Config()) -> MOG2State:
     return MOG2State(weights, means, variances)
 
 
+class KNNState(NamedTuple):
+    """Sample bank [S, H, W] for the KNN background model
+    (video/src/bgfg_KNN.cpp analog)."""
+
+    samples: jnp.ndarray
+    step: jnp.ndarray  # i32 frame counter (drives cyclic replacement)
+
+
+def knn_init(img: jnp.ndarray, n_samples: int = 10) -> KNNState:
+    return KNNState(
+        samples=jnp.tile(img.astype(jnp.float32)[None], (n_samples, 1, 1)),
+        step=jnp.int32(0),
+    )
+
+
+def knn_apply(
+    state: KNNState,
+    img: jnp.ndarray,
+    key,
+    dist_threshold: float = 20.0,
+    k_needed: int = 2,
+    update_prob: float = 0.2,
+) -> tuple[KNNState, jnp.ndarray]:
+    """One frame of the KNN background subtractor: foreground when fewer
+    than k samples lie within dist_threshold; background pixels refresh a
+    random sample slot with probability update_prob."""
+    import jax as _jax
+
+    x = img.astype(jnp.float32)[None]
+    close = jnp.abs(state.samples - x) < dist_threshold  # [S,H,W]
+    n_close = jnp.sum(close, axis=0)
+    fg = n_close < k_needed
+    s = state.samples.shape[0]
+    k1, k2 = _jax.random.split(key)
+    slot = _jax.random.randint(k1, img.shape, 0, s)
+    do = (~fg) & (_jax.random.uniform(k2, img.shape) < update_prob)
+    ss = jnp.arange(s)[:, None, None]
+    replace = (ss == slot[None]) & do[None]
+    samples = jnp.where(replace, x, state.samples)
+    return KNNState(samples=samples, step=state.step + 1), fg
+
+
 def apply(
     state: MOG2State, img: jnp.ndarray, cfg: MOG2Config = MOG2Config(),
     learning_rate: float | None = None,

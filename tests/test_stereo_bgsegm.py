@@ -87,3 +87,24 @@ def test_mog2_adapts_to_new_background(rng):
     for _ in range(60):
         state, fg = bgsegm.apply(state, jnp.asarray(bg2), learning_rate=0.1)
     assert np.asarray(fg).mean() < 0.1
+
+
+def test_knn_bgsub_detects_and_adapts(rng):
+    import jax
+
+    h, w = 30, 30
+    bg = rng.uniform(80, 120, size=(h, w)).astype(np.float32)
+    state = bgsegm.knn_init(jnp.asarray(bg))
+    key = jax.random.PRNGKey(0)
+    for i in range(20):
+        key, sub = jax.random.split(key)
+        frame = bg + rng.normal(0, 2.0, (h, w)).astype(np.float32)
+        state, fg = bgsegm.knn_apply(state, jnp.asarray(frame), sub)
+    assert np.asarray(fg).mean() < 0.05
+    frame = bg.copy()
+    frame[10:20, 10:20] = 250.0
+    key, sub = jax.random.split(key)
+    state, fg = bgsegm.knn_apply(state, jnp.asarray(frame), sub)
+    fg = np.asarray(fg)
+    assert fg[12:18, 12:18].mean() > 0.9
+    assert fg[:8, :8].mean() < 0.1
