@@ -238,6 +238,49 @@ def recover_pose(
     )
 
 
+def find_essential_ransac_5pt(
+    key: jax.Array,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    valid: jnp.ndarray | None = None,
+    cfg: RansacConfig = RansacConfig(threshold=1e-3),
+) -> ransac_mod.RansacResult:
+    """findEssentialMat with the true 5-point minimal kernel
+    (geometry/five_point.py; reference five-point.cpp:40). Each sampled
+    subset yields up to 10 candidate E; ALL candidates of ALL subsets are
+    Sampson-scored in one batch (the minimal sample beats 8-point when
+    inlier ratios are low: eps^5 vs eps^8 hypotheses survive)."""
+    from opencv_tpu.geometry.five_point import five_point
+
+    n = x1.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), bool)
+    thr2 = cfg.threshold * cfg.threshold
+    subsets = ransac_mod._sample_subsets(key, n, valid, cfg.n_hypotheses, 5)
+    res = jax.vmap(lambda idx: five_point(x1[idx], x2[idx]))(subsets)
+    Es = res.E.reshape(-1, 3, 3)  # [H*10, 3, 3]
+    cand_ok = res.valid.reshape(-1)
+    errs = jax.vmap(lambda E: sampson_error(E, x1, x2))(Es)
+    inlier_mat = (errs < thr2) & valid[None, :]
+    scores = jnp.where(cand_ok, jnp.sum(inlier_mat, axis=1), -1)
+    best = jnp.argmax(scores)
+    E = Es[best]
+    inliers = inlier_mat[best]
+    ok = scores[best] >= 5
+    # polish: all-inlier 8-point refit (same as the 8-point path)
+    for _ in range(2):
+        w = inliers.astype(x1.dtype)
+        E_ref, ok_ref = eight_point(x1, x2, essential=True, weights=w)
+        err = sampson_error(E_ref, x1, x2)
+        new_inliers = (err < thr2) & valid
+        better = ok_ref & (jnp.sum(new_inliers) >= jnp.sum(inliers))
+        E = jnp.where(better, E_ref, E)
+        inliers = jnp.where(better, new_inliers, inliers)
+    return ransac_mod.RansacResult(
+        model=E, inliers=inliers, n_inliers=jnp.sum(inliers), ok=ok
+    )
+
+
 def find_essential_ransac(
     key: jax.Array,
     x1: jnp.ndarray,

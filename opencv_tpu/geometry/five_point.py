@@ -1,0 +1,251 @@
+"""Five-point minimal essential-matrix solver (Nister 2004), TPU-native.
+
+Reference role: calib3d/src/five-point.cpp:40-372 (EMEstimatorCallback:
+nullspace + 10x10 Gauss-Jordan + 10th-degree polynomial). This is a
+fresh implementation from the published algebra with every stage chosen
+for batched f32 execution:
+
+- nullspace of the 5x9 design via SVD (batched);
+- the ten cubic constraints (det E = 0, 2 E E^T E - tr(E E^T) E = 0)
+  expanded with static monomial-index maps (no symbolic runtime);
+- Gauss-Jordan via one 10x10 solve; Nister's z-hiding reduces to a 3x3
+  matrix B(z) of z-polynomials whose determinant is the degree-10
+  polynomial;
+- roots by Durand-Kerner iteration in complex64 — a fixed-trip
+  elementwise loop (the TPU-idiomatic replacement for the reference's
+  companion/sturm machinery, which needs data-dependent branching);
+- all <=10 candidate E per sample are scored downstream (RANSAC keeps
+  the best), so complex/spurious roots just waste a candidate slot.
+"""
+
+from __future__ import annotations
+
+import itertools
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_P32 = lax.Precision.HIGHEST
+
+# ---- static monomial tables ------------------------------------------------
+
+# degree-1 basis over (x, y, z, 1)
+_E1 = [(1, 0, 0), (0, 1, 0), (0, 0, 1), (0, 0, 0)]
+# all monomials with total degree <= 2 / <= 3 in (x, y, z)
+_E2 = [
+    (i, j, k)
+    for i in range(3) for j in range(3) for k in range(3)
+    if i + j + k <= 2
+]
+# Nister's degree-<=3 monomial order: first ten have x,y-degree >= 2,
+# tail ten have x,y-degree <= 1
+_M3 = [
+    (3, 0, 0), (0, 3, 0), (2, 1, 0), (1, 2, 0), (2, 0, 1),
+    (2, 0, 0), (0, 2, 1), (0, 2, 0), (1, 1, 1), (1, 1, 0),
+    (1, 0, 2), (1, 0, 1), (1, 0, 0), (0, 1, 2), (0, 1, 1),
+    (0, 1, 0), (0, 0, 3), (0, 0, 2), (0, 0, 1), (0, 0, 0),
+]
+_M3_INDEX = {m: i for i, m in enumerate(_M3)}
+_E2_INDEX = {m: i for i, m in enumerate(_E2)}
+
+# static product maps: (i, j) -> flat monomial index
+_MUL_11 = np.array(
+    [[_E2_INDEX[tuple(np.add(a, b))] for b in _E1] for a in _E1], np.int32
+)
+_MUL_21 = np.array(
+    [[_M3_INDEX[tuple(np.add(a, b))] for b in _E1] for a in _E2], np.int32
+)
+
+
+def _pmul_11(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(deg1 [..,4]) * (deg1 [..,4]) -> deg2 [.., len(_E2)]."""
+    out = jnp.zeros(a.shape[:-1] + (len(_E2),), a.dtype)
+    for i in range(4):
+        for j in range(4):
+            out = out.at[..., _MUL_11[i, j]].add(a[..., i] * b[..., j])
+    return out
+
+
+def _pmul_21(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """(deg2) * (deg1) -> deg3 [.., 20] in Nister order."""
+    out = jnp.zeros(a.shape[:-1] + (20,), a.dtype)
+    for i in range(len(_E2)):
+        for j in range(4):
+            out = out.at[..., _MUL_21[i, j]].add(a[..., i] * b[..., j])
+    return out
+
+
+# ---- solver ----------------------------------------------------------------
+
+def _constraint_matrix(basis: jnp.ndarray) -> jnp.ndarray:
+    """basis [4, 3, 3] (E = x B0 + y B1 + z B2 + B3) -> M [10, 20]."""
+    # E entries as degree-1 polys [3, 3, 4]
+    e = jnp.moveaxis(basis, 0, -1)
+
+    # det(E) = sum_{perm} sign * e0i e1j e2k  (degree 3)
+    det = jnp.zeros((20,), basis.dtype)
+    for perm in itertools.permutations(range(3)):
+        sign = 1.0
+        p = list(perm)
+        for i in range(3):
+            for j in range(i + 1, 3):
+                if p[i] > p[j]:
+                    sign = -sign
+        term = _pmul_21(_pmul_11(e[0, perm[0]], e[1, perm[1]]), e[2, perm[2]])
+        det = det + sign * term
+
+    # B = E E^T (degree 2), C = 2 B E - tr(B) E (degree 3)
+    B = [[None] * 3 for _ in range(3)]
+    for i in range(3):
+        for j in range(3):
+            acc = jnp.zeros((len(_E2),), basis.dtype)
+            for k in range(3):
+                acc = acc + _pmul_11(e[i, k], e[j, k])
+            B[i][j] = acc
+    trB = B[0][0] + B[1][1] + B[2][2]
+    rows = [det]
+    for i in range(3):
+        for j in range(3):
+            acc = jnp.zeros((20,), basis.dtype)
+            for k in range(3):
+                acc = acc + _pmul_21(B[i][k], e[k, j])
+            acc = 2.0 * acc - _pmul_21(trB, e[i, j])
+            rows.append(acc)
+    return jnp.stack(rows)  # [10, 20]
+
+
+def _poly_b_matrix(tail: jnp.ndarray) -> jnp.ndarray:
+    """tail [10, 10]: reduced-row tails over Nister's tail monomials
+    [xz^2, xz, x, yz^2, yz, y, z^3, z^2, z, 1].
+    Returns B [3, 3, 5]: z-polynomial coefficients (constant-first) of
+    the three hidden-variable equations' (x, y, 1) coefficients."""
+
+    def combo(r_hi, r_lo):
+        """row(mon*z) - z * row(mon): x,y-degree <= 1 polynomial."""
+        t = tail[r_hi]
+        s = tail[r_lo]
+        # x coefficient: t2 + t1 z + t0 z^2 - (s2 z + s1 z^2 + s0 z^3)
+        cx = jnp.stack([t[2], t[1] - s[2], t[0] - s[1], -s[0], jnp.zeros(())])
+        cy = jnp.stack([t[5], t[4] - s[5], t[3] - s[4], -s[3], jnp.zeros(())])
+        c1 = jnp.stack(
+            [t[9], t[8] - s[9], t[7] - s[8], t[6] - s[7], -s[6]]
+        )
+        return jnp.stack([cx, cy, c1])  # [3, 5]
+
+    # reduced rows 4..9 lead with x^2 z, x^2, y^2 z, y^2, xyz, xy
+    return jnp.stack([combo(4, 5), combo(6, 7), combo(8, 9)])  # [3,3,5]
+
+
+def _poly_det3(B: jnp.ndarray) -> jnp.ndarray:
+    """det of a 3x3 matrix of z-polynomials [3,3,5] -> degree-10 coeffs
+    [11], constant first."""
+
+    def pconv(a, b):
+        n = a.shape[-1] + b.shape[-1] - 1
+        out = jnp.zeros((n,), a.dtype)
+        for i in range(a.shape[-1]):
+            out = out.at[i : i + b.shape[-1]].add(a[i] * b)
+        return out
+
+    det = jnp.zeros((13,), B.dtype)
+    for perm in itertools.permutations(range(3)):
+        sign = 1.0
+        p = list(perm)
+        for i in range(3):
+            for j in range(i + 1, 3):
+                if p[i] > p[j]:
+                    sign = -sign
+        term = pconv(pconv(B[0, perm[0]], B[1, perm[1]]), B[2, perm[2]])
+        det = det + sign * term
+    return det[:11]  # degrees 11/12 cancel exactly
+
+
+def _durand_kerner(coeffs: jnp.ndarray, iters: int = 80) -> jnp.ndarray:
+    """Roots of a degree-10 polynomial (coeffs [11], constant first).
+    Complex64 fixed-point iteration; returns [10] complex roots."""
+    lead = coeffs[10]
+    safe = jnp.where(jnp.abs(lead) < 1e-20, 1e-20, lead)
+    monic = coeffs / safe
+    # variable scaling z = s*u so the scaled roots are O(1): without it
+    # DK diverges to NaN whenever a root is far outside the unit circle
+    # (the Cauchy-bound-style scale max |c_k|^(1/(10-k)))
+    ks = jnp.arange(10)
+    mags = jnp.abs(monic[:10]) ** (1.0 / (10.0 - ks))
+    s = jnp.clip(jnp.max(mags), 1e-3, 1e6)
+    scaled = monic * s ** (jnp.arange(11) - 10.0)
+    scaled = scaled.astype(jnp.complex64)
+
+    def horner(z):
+        acc = jnp.ones_like(z) * scaled[10]
+        for k in range(9, -1, -1):
+            acc = acc * z + scaled[k]
+        return acc
+
+    k = jnp.arange(10)
+    r0 = 1.3 * (0.4 + 0.9j) ** (k + 1)
+
+    def body(_, r):
+        pr = horner(r)
+        diff = r[:, None] - r[None, :] + jnp.eye(10, dtype=jnp.complex64)
+        denom = jnp.prod(diff, axis=1)
+        step = pr / jnp.where(jnp.abs(denom) < 1e-20, 1e-20, denom)
+        # clamp runaway steps (keeps NaNs from poisoning all roots)
+        big = jnp.abs(step) > 10.0
+        step = jnp.where(big, step / jnp.abs(step) * 10.0, step)
+        return r - step
+
+    roots = lax.fori_loop(0, iters, body, r0.astype(jnp.complex64))
+    return roots * s.astype(jnp.complex64)
+
+
+class FivePointResult(NamedTuple):
+    E: jnp.ndarray  # [10, 3, 3] candidates
+    valid: jnp.ndarray  # [10]
+
+
+def five_point(x1: jnp.ndarray, x2: jnp.ndarray) -> FivePointResult:
+    """Essential-matrix candidates from exactly 5 normalized
+    correspondences [5, 2]."""
+    one = jnp.ones((5, 1), x1.dtype)
+    p1 = jnp.concatenate([x1, one], axis=1)
+    p2 = jnp.concatenate([x2, one], axis=1)
+    A = (p2[:, :, None] * p1[:, None, :]).reshape(5, 9)
+    _, _, vt = jnp.linalg.svd(A, full_matrices=True)
+    basis = vt[5:9].reshape(4, 3, 3)  # x, y, z, 1 coefficients
+
+    M = _constraint_matrix(basis)  # [10, 20]
+    lhs = M[:, :10]
+    ok = jnp.abs(jnp.linalg.det(lhs)) > 1e-20
+    tail = jnp.linalg.solve(
+        jnp.where(ok, 1.0, 0.0) * lhs + jnp.where(ok, 0.0, 1.0) * jnp.eye(10),
+        M[:, 10:],
+    )
+    B = _poly_b_matrix(tail)
+    coeffs = _poly_det3(B)
+    roots = _durand_kerner(coeffs)
+
+    real = jnp.abs(roots.imag) < 1e-4 * (1.0 + jnp.abs(roots.real))
+    zs = roots.real
+
+    def build(z):
+        Bz = jnp.sum(
+            B * (z ** jnp.arange(5))[None, None, :], axis=-1
+        )  # [3,3]
+        # nullspace of Bz via the largest cross product of row pairs
+        c01 = jnp.cross(Bz[0], Bz[1])
+        c02 = jnp.cross(Bz[0], Bz[2])
+        c12 = jnp.cross(Bz[1], Bz[2])
+        cands = jnp.stack([c01, c02, c12])
+        n = cands[jnp.argmax(jnp.sum(cands * cands, axis=1))]
+        w = jnp.where(jnp.abs(n[2]) < 1e-12, 1e-12, n[2])
+        x = n[0] / w
+        y = n[1] / w
+        E = x * basis[0] + y * basis[1] + z * basis[2] + basis[3]
+        nrm = jnp.linalg.norm(E)
+        return E / jnp.maximum(nrm, 1e-12), nrm > 1e-12
+
+    Es, oks = jax.vmap(build)(zs)
+    return FivePointResult(E=Es, valid=real & oks & ok & jnp.all(jnp.isfinite(Es), axis=(1, 2)))
