@@ -85,3 +85,30 @@ def merge_mertens(
     w = (lap + 1e-6) ** contrast_w * wexp ** exposure_w
     w = w / jnp.maximum(jnp.sum(w, axis=0, keepdims=True), 1e-9)
     return jnp.sum(w * x, axis=0)
+
+
+def seamless_clone(
+    src: jnp.ndarray, dst: jnp.ndarray, mask: jnp.ndarray, iters: int = 400
+) -> jnp.ndarray:
+    """Poisson seamless cloning (cv::seamlessClone NORMAL_CLONE analog,
+    photo/src/seamless_cloning.cpp): solve the Poisson equation inside
+    the mask with the source's gradient field and the destination's
+    boundary, by Jacobi iteration (fixed-trip, fused stencils)."""
+    src = src.astype(jnp.float32)
+    dst = dst.astype(jnp.float32)
+    lap_src = (
+        4.0 * src
+        - imgproc.shift2d(src, -1, 0, 0.0) - imgproc.shift2d(src, 1, 0, 0.0)
+        - imgproc.shift2d(src, 0, -1, 0.0) - imgproc.shift2d(src, 0, 1, 0.0)
+    )
+    inside = mask
+
+    def body(_, x):
+        nb = (
+            imgproc.shift2d(x, -1, 0, 0.0) + imgproc.shift2d(x, 1, 0, 0.0)
+            + imgproc.shift2d(x, 0, -1, 0.0) + imgproc.shift2d(x, 0, 1, 0.0)
+        )
+        upd = 0.25 * (nb + lap_src)
+        return jnp.where(inside, upd, dst)
+
+    return lax.fori_loop(0, iters, body, jnp.where(inside, src, dst))
