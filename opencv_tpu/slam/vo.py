@@ -23,7 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from opencv_tpu.core.config import MatchConfig, ORBConfig, RansacConfig
-from opencv_tpu.geometry import epipolar, pnp
+from opencv_tpu.geometry import decompose, epipolar, homography as hom_mod, pnp
 from opencv_tpu.geometry.rotation import rodrigues, rodrigues_inv
 from opencv_tpu.ops import matching, orb
 from opencv_tpu.optim import ba
@@ -125,10 +125,10 @@ class VisualOdometry:
             return None
         x0 = jnp.asarray(kf0.kp_xy)
         x1full = jnp.asarray(xy1)
+        xq = x0[jnp.asarray(qi)]
+        xt = x1full[jnp.asarray(ti)]
         res = epipolar.find_essential_ransac(
-            self._next_key(),
-            x0[jnp.asarray(qi)],
-            x1full[jnp.asarray(ti)],
+            self._next_key(), xq, xt,
             valid=jnp.asarray(mv),
             cfg=RansacConfig(
                 n_hypotheses=self.cfg.n_hypotheses,
@@ -137,13 +137,32 @@ class VisualOdometry:
         )
         if not bool(res.ok) or int(res.n_inliers) < 50:
             return None
-        rec = epipolar.recover_pose(
-            res.model, x0[jnp.asarray(qi)], x1full[jnp.asarray(ti)], res.inliers
+        # H/E model selection (the ORB-SLAM recipe): a dominant plane
+        # makes E degenerate; if a homography explains clearly more
+        # matches, initialize from its decomposition instead
+        hres = hom_mod.find_homography_ransac(
+            self._next_key(), xq, xt,
+            valid=jnp.asarray(mv),
+            cfg=RansacConfig(
+                n_hypotheses=self.cfg.n_hypotheses,
+                threshold=self.cfg.essential_threshold,
+            ),
         )
-        if int(rec.n_good) < 40:
+        use_h = bool(hres.ok) and int(hres.n_inliers) > 1.2 * int(res.n_inliers)
+        if use_h:
+            out = self._pose_from_homography(hres, xq, xt)
+        else:
+            rec = epipolar.recover_pose(res.model, xq, xt, res.inliers)
+            out = (
+                (np.asarray(rec.R), np.asarray(rec.t), rec.mask)
+                if int(rec.n_good) >= 40
+                else None
+            )
+        if out is None:
             return None
-        R, t = np.asarray(rec.R), np.asarray(rec.t)
-        t = t / np.linalg.norm(t)  # monocular scale convention |t| = 1
+        R, t, cheir_mask = out
+        rec_mask = cheir_mask
+        t = t / max(np.linalg.norm(t), 1e-12)  # mono scale convention |t|=1
         # triangulate inliers (world = kf0 camera frame)
         X = np.asarray(
             epipolar.triangulate_normalized(
@@ -151,7 +170,7 @@ class VisualOdometry:
                 x0[jnp.asarray(qi)], x1full[jnp.asarray(ti)],
             )
         )
-        good = np.asarray(rec.mask) & (X[:, 2] > 0.1) & (
+        good = np.asarray(rec_mask) & (X[:, 2] > 0.1) & (
             X[:, 2] < self.cfg.min_parallax_depth
         )
         n_new = int(good.sum())
@@ -171,6 +190,36 @@ class VisualOdometry:
         kf1.landmark_idx[ti[sel]] = slots
         self.keyframes.append(kf1)
         return rvec1, t.astype(np.float32)
+
+    def _pose_from_homography(self, hres, xq, xt):
+        """Bootstrap pose from a dominant-plane homography: decompose
+        into 4 (R, t, n) candidates (geometry/decompose.py) and pick the
+        one with the strongest positive-depth (cheirality) support."""
+        dec = decompose.decompose_homography(
+            hres.model, jnp.eye(3, dtype=jnp.float32)
+        )
+        best = None
+        for i in range(4):
+            if not bool(dec.valid[i]):
+                continue
+            R = np.asarray(dec.R[i])
+            t = np.asarray(dec.t[i])
+            if np.linalg.norm(t) < 1e-9:
+                continue
+            X = np.asarray(
+                epipolar.triangulate_normalized(
+                    jnp.asarray(R), jnp.asarray(t), xq, xt
+                )
+            )
+            z1 = X[:, 2]
+            z2 = (X @ R.T + t)[:, 2]
+            good = (z1 > 0) & (z2 > 0) & np.asarray(hres.inliers)
+            n_good = int(good.sum())
+            if best is None or n_good > best[3]:
+                best = (R, t, good, n_good)
+        if best is None or best[3] < 40:
+            return None
+        return best[0], best[1], jnp.asarray(best[2])
 
     def _track(self, xy, desc, valid):
         """Frame-to-map PnP. Returns (rvec, tvec, n_inliers, lm_idx_per_kp)."""

@@ -108,3 +108,42 @@ def test_umeyama_alignment_exact(rng):
     np.testing.assert_allclose(s, 1.7, rtol=1e-5)
     np.testing.assert_allclose(R, R_true, atol=1e-6)
     assert ate_rmse(src, dst) < 1e-6
+
+
+def test_vo_near_planar_scene():
+    """Near-planar terrain: the E-only bootstrap failed here (planar
+    degeneracy); the H/E model selection must keep the trajectory sane."""
+    rng = np.random.default_rng(7)
+    n_pts = 1600
+    wx = rng.uniform(-6, 8, n_pts)
+    wy = rng.uniform(-4, 4, n_pts)
+    wz = 7.0 + 0.6 * np.sin(0.5 * wx) * np.cos(0.45 * wy) + 0.25 * wx  # gentle relief
+    world = np.stack([wx, wy, wz], axis=1).astype(np.float32)
+    inten = rng.uniform(60, 255, n_pts).astype(np.float32)
+
+    frames, centers = [], []
+    for i in range(16):
+        c = np.array([0.12 * i, 0.0, 0.05 * i], np.float32)
+        yaw = np.deg2rad(0.3 * i)
+        rvec = np.array([0.0, yaw, 0.0], np.float32)
+        R = np.asarray(rodrigues(jnp.asarray(rvec)))
+        tvec = (-R @ c).astype(np.float32)
+        frames.append(render_frame(world, inten, rvec, tvec))
+        centers.append(c)
+    centers = np.asarray(centers)
+
+    cfg = VOConfig(
+        orb=ORBConfig(n_features=600, n_levels=3, fast_threshold=12.0),
+        n_hypotheses=512,
+        keyframe_min_inliers=80,
+        window_size=5,
+        ba_iters=8,
+    )
+    vo = VisualOdometry(K, cfg, seed=0)
+    for f in frames:
+        vo.process(f)
+    assert vo.state == "tracking"
+    traj = vo.trajectory()
+    path_len = np.linalg.norm(np.diff(centers, axis=0), axis=1).sum()
+    err = ate_rmse(traj, centers, with_scale=True)
+    assert err < 0.12 * path_len, f"ATE {err:.4f} vs path {path_len:.3f}"
