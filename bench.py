@@ -68,7 +68,7 @@ def main():
     @jax.jit
     def run(n):
         def body(i, carry):
-            out = frontend_pair(img0 + carry * 0, img1)
+            out = frontend_pair(img0 * (1.0 + carry * 1e-30), img1)
             return jnp.sum(out[3]) * 1e-12
 
         return lax.fori_loop(0, n, body, jnp.float32(0.0))

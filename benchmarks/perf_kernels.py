@@ -27,20 +27,28 @@ TOLERANCE = 1.5  # fail if slower than baseline * tolerance
 
 
 def measure(body, n=30):
-    """Median amortized per-iteration seconds of `body(carry)->carry`."""
+    """Amortized per-iteration seconds of `body(carry)->carry`.
+
+    Auto-scales the trip count until the measured interval clears the
+    device-relay jitter (~tens of ms): sub-ms kernels at n=30 would be
+    pure noise."""
 
     @jax.jit
     def run(k):
         return lax.fori_loop(0, k, lambda i, c: body(c), jnp.float32(0.0))
 
     float(run(jnp.int32(2)))  # compile once (dynamic trip count)
-    t0 = time.perf_counter()
-    float(run(jnp.int32(n + 2)))
-    ta = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    float(run(jnp.int32(2)))
-    tb = time.perf_counter() - t0
-    return max((ta - tb) / n, 1e-9)
+    while True:
+        t0 = time.perf_counter()
+        float(run(jnp.int32(n + 2)))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(run(jnp.int32(2)))
+        tb = time.perf_counter() - t0
+        diff = ta - tb
+        if diff > 0.1 or n >= 50000:
+            return max(diff / n, 1e-9)
+        n *= 8
 
 
 def build_benchmarks():
@@ -61,19 +69,19 @@ def build_benchmarks():
     cfg = ORBConfig(n_features=2000, n_levels=8)
 
     def orb_pair(c):
-        kp0, d0 = orb.detect_and_compute(img + c * 0, cfg)
+        kp0, d0 = orb.detect_and_compute(img * (1.0 + c * 1e-30), cfg)
         kp1, d1 = orb.detect_and_compute(img2, cfg)
         m = matching.knn_match(d0, d1, query_valid=kp0.valid,
                                train_valid=kp1.valid, config=MatchConfig())
         return jnp.sum(m.distance) * 1e-12
 
     return {
-        "fast_score_kitti": lambda c: jnp.sum(fast.fast_score(img + c * 0)) * 1e-12,
-        "harris_kitti": lambda c: jnp.sum(imgproc.harris_response(img + c * 0)) * 1e-12,
-        "gaussian7_kitti": lambda c: jnp.sum(imgproc.gaussian_blur(img + c * 0)) * 1e-12,
+        "fast_score_kitti": lambda c: jnp.sum(fast.fast_score(img * (1.0 + c * 1e-30))) * 1e-12,
+        "harris_kitti": lambda c: jnp.sum(imgproc.harris_response(img * (1.0 + c * 1e-30))) * 1e-12,
+        "gaussian7_kitti": lambda c: jnp.sum(imgproc.gaussian_blur(img * (1.0 + c * 1e-30))) * 1e-12,
         "orb_pair_2000": orb_pair,
         "streaming_knn_2048x65536": lambda c: jnp.sum(
-            knn.knn2_hamming(qs + c * 0, ts_)[0]
+            knn.knn2_hamming(qs * (1.0 + c * 1e-30).astype(qs.dtype), ts_)[0]
         ) * 1e-12,
     }
 
