@@ -86,3 +86,27 @@ def median_blur(img: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     ]
     stack = jnp.stack(taps, axis=0)
     return jnp.sort(stack, axis=0)[(ksize * ksize) // 2]
+
+
+def bilateral_filter(
+    img: jnp.ndarray, d: int = 9, sigma_color: float = 30.0,
+    sigma_space: float = 3.0,
+) -> jnp.ndarray:
+    """cv::bilateralFilter analog (imgproc/src/bilateral_filter.dispatch.cpp;
+    GPU cudaimgproc/src/bilateral_filter.cpp): edge-preserving smoothing.
+    One shifted-read + fused-weight pass per window offset."""
+    img = img.astype(jnp.float32)
+    r = d // 2
+    num = jnp.zeros_like(img)
+    den = jnp.zeros_like(img)
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy * dy + dx * dx > r * r:
+                continue
+            ws = float(np.exp(-(dy * dy + dx * dx) / (2.0 * sigma_space ** 2)))
+            nb = imgproc.shift2d(img, dy, dx, fill=jnp.float32(jnp.nan))
+            wr = jnp.exp(-((nb - img) ** 2) / (2.0 * sigma_color ** 2))
+            w = jnp.where(jnp.isnan(nb), 0.0, ws * wr)
+            num = num + w * jnp.where(jnp.isnan(nb), 0.0, nb)
+            den = den + w
+    return num / jnp.maximum(den, 1e-9)

@@ -131,3 +131,14 @@ def test_match_template_sqdiff_zero_at_match(rng):
     # cancellation of ~1e7-magnitude integral terms
     assert np.unravel_index(np.argmin(sm), sm.shape) == (10, 15)
     assert abs(sm[10, 15]) < 1e-5 * sm.mean()
+
+
+def test_bilateral_preserves_edges_smooths_noise(rng):
+    img = np.zeros((48, 48), np.float32)
+    img[:, 24:] = 150.0
+    noisy = img + rng.normal(0, 6.0, img.shape).astype(np.float32)
+    out = np.asarray(morphology.bilateral_filter(jnp.asarray(noisy), 9, 30.0, 3.0))
+    # noise reduced in flat regions
+    assert out[:, 4:20].std() < noisy[:, 4:20].std() * 0.5
+    # edge step preserved
+    assert (out[:, 30] - out[:, 18]).mean() > 130.0
