@@ -7,28 +7,68 @@ min-eigenvalue gate, and <=30 Newton iterations on the mismatch vector
 CUDA version runs one thread-block per point with texture-unit bilinear
 fetches (cudaoptflow/src/cuda/pyrlk.cu:368 `sparseKernel`).
 
-TPU-native design: `vmap` over points x window (the block-per-point
-becomes a batched gather), `lax.fori_loop` with convergence masks for the
-fixed iteration budget (data-dependent early exit is replaced by masked
-updates — the XLA-idiomatic equivalent), and an unrolled coarse-to-fine
-level loop with static shapes per level.
+TPU-native design — GATHER-FREE window sampling on the MXU:
+
+TPU has no texture units and XLA lowers pointwise gathers to slow
+scalar loops, so the CUDA shape (fetch 441 bilinear taps per point per
+iteration) is the one thing NOT to port. Because the LK window is a
+RIGID win x win grid at a fractional offset, bilinear sampling is
+separable:
+
+    window_n = Wy_n @ level_image @ Wx_n^T
+
+where Wy/Wx are [win, H] / [win, W] banded interpolation matrices (two
+nonzeros per row) rebuilt each iteration from the current guess. The
+first contraction flattens to ONE large matmul ([N*win, H] @ [H, W]) —
+pure MXU work, zero gathers, zero dynamic shapes. Out-of-image taps get
+all-zero weight rows (sample 0 -> gradient gate handles the rest). The
+30-iteration Newton loop exits early once every live point converges.
 """
 
 from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from opencv_tpu.core import imgproc
 from opencv_tpu.core.config import LKConfig
 from opencv_tpu.core.pyramid import build_lk_pyramid
 
+# bf16x3 MXU passes: ~f32-quality interpolation of 0..255 intensities at
+# half the pass count of HIGHEST; subpixel flow error stays ~1e-3 px
+_PS = lax.Precision.HIGH
 
-def _window_offsets(win_size: int) -> jnp.ndarray:
-    r = win_size // 2
-    d = jnp.arange(win_size, dtype=jnp.float32) - r
-    oy, ox = jnp.meshgrid(d, d, indexing="ij")
-    return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)  # [w*w, 2]
+
+def _interp_weights(local_ctr: jnp.ndarray, win: int, dim: int) -> jnp.ndarray:
+    """Banded bilinear selection matrix.
+
+    local_ctr: [N] window-center coordinate (one axis). Returns
+    [N, win, dim] where row r holds the two-tap bilinear weights selecting
+    position (local_ctr - win//2 + r). Out-of-range rows are all-zero.
+    """
+    half = win // 2
+    start = local_ctr - half  # [N]
+    i0 = jnp.floor(start)
+    f = (start - i0)[:, None, None]  # [N,1,1]
+    rows = i0[:, None] + jnp.arange(win, dtype=jnp.float32)[None, :]  # [N,win]
+    d = jnp.arange(dim, dtype=jnp.float32)[None, None, :]  # [1,1,dim]
+    rows = rows[:, :, None]  # [N,win,1]
+    return jnp.where(d == rows, 1.0 - f, 0.0) + jnp.where(d == rows + 1.0, f, 0.0)
+
+
+def _sample_windows(img: jnp.ndarray, wy: jnp.ndarray, wx: jnp.ndarray):
+    """[H,W] image x [N,win,H]/[N,win,W] weights -> [N,win,win] windows.
+
+    The first einsum is a single [(N*win), H] @ [H, W] MXU matmul."""
+    tmp = jnp.einsum("nad,de->nae", wy, img, precision=_PS)
+    return jnp.einsum("nae,nbe->nab", tmp, wx, precision=_PS)
+
+
+def _sample_at(img, pts, win):
+    wy = _interp_weights(pts[:, 1], win, img.shape[0])
+    wx = _interp_weights(pts[:, 0], win, img.shape[1])
+    return _sample_windows(img, wy, wx)
 
 
 def _track_level(
@@ -41,31 +81,32 @@ def _track_level(
     cfg: LKConfig,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One pyramid level of LK. Returns (new_guess, min_eig, residual)."""
-    offs = _window_offsets(cfg.win_size)  # [K,2]
+    win = cfg.win_size
     n = base_pts.shape[0]
-    area = offs.shape[0]
+    area = float(win * win)
 
-    coords = base_pts[:, None, :] + offs[None, :, :]  # [N,K,2]
-    iw = imgproc.bilinear_sample(prev_img, coords)  # [N,K]
-    ix = imgproc.bilinear_sample(dx, coords)
-    iy = imgproc.bilinear_sample(dy, coords)
+    # fixed prev-image windows: intensity + Scharr gradients, sampled once
+    wy_b = _interp_weights(base_pts[:, 1], win, prev_img.shape[0])
+    wx_b = _interp_weights(base_pts[:, 0], win, prev_img.shape[1])
+    iw = _sample_windows(prev_img, wy_b, wx_b)
+    ix = _sample_windows(dx, wy_b, wx_b)
+    iy = _sample_windows(dy, wy_b, wx_b)
 
-    gxx = jnp.sum(ix * ix, axis=1)
-    gxy = jnp.sum(ix * iy, axis=1)
-    gyy = jnp.sum(iy * iy, axis=1)
+    gxx = jnp.sum(ix * ix, axis=(1, 2))
+    gxy = jnp.sum(ix * iy, axis=(1, 2))
+    gyy = jnp.sum(iy * iy, axis=(1, 2))
     det = gxx * gyy - gxy * gxy
     tr = gxx + gyy
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) * 0.5 / area
     ok = min_eig > cfg.min_eig_threshold
     safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
 
-    def body(_, carry):
+    def body(carry):
         guess, converged = carry
-        jcoords = guess[:, None, :] + offs[None, :, :]
-        jw = imgproc.bilinear_sample(next_img, jcoords)
-        diff = iw - jw  # [N,K]
-        bx = jnp.sum(diff * ix, axis=1)
-        by = jnp.sum(diff * iy, axis=1)
+        jw = _sample_at(next_img, guess, win)
+        diff = iw - jw  # [N,win,win]
+        bx = jnp.sum(diff * ix, axis=(1, 2))
+        by = jnp.sum(diff * iy, axis=(1, 2))
         # solve G d = b (2x2 closed form)
         d_x = (gyy * bx - gxy * by) / safe_det
         d_y = (gxx * by - gxy * bx) / safe_det
@@ -76,43 +117,61 @@ def _track_level(
         converged = converged | (step <= cfg.eps * cfg.eps)
         return new_guess, converged
 
-    converged0 = jnp.zeros((n,), bool)
-    guess, _ = jax.lax.fori_loop(0, cfg.max_iters, body, (guess_pts, converged0))
+    # whole-batch early exit: per-point exits are masked updates; once
+    # every live point has converged the rest of the budget is waste
+    # (typical real-video steps converge in <10 of the 30 iterations)
+    def loop_cond(state):
+        i, (_, converged) = state
+        return (i < cfg.max_iters) & ~jnp.all(converged | ~ok)
 
-    jw = imgproc.bilinear_sample(next_img, guess[:, None, :] + offs[None, :, :])
-    residual = jnp.mean(jnp.abs(iw - jw), axis=1)
+    def loop_body(state):
+        i, carry = state
+        return i + 1, body(carry)
+
+    converged0 = jnp.zeros((n,), bool)
+    _, (guess, _) = lax.while_loop(
+        loop_cond, loop_body, (jnp.int32(0), (guess_pts, converged0))
+    )
+
+    jw = _sample_at(next_img, guess, win)
+    residual = jnp.mean(jnp.abs(iw - jw), axis=(1, 2))
     return guess, min_eig, residual
 
 
-def calc_optical_flow_pyr_lk(
-    prev_img: jnp.ndarray,
-    next_img: jnp.ndarray,
+def build_flow_pyramid(img: jnp.ndarray, cfg: LKConfig = LKConfig()):
+    """Analog of cv::buildOpticalFlowPyramid (lkpyramid.cpp:697): levels +
+    per-level Scharr derivatives, reusable across calc calls. Returns a
+    tuple of (level, dx, dy) triples, finest first. The reference exposes
+    exactly this reuse (withDerivatives=true); an engine tracking frame
+    t-1 -> t -> t+1 builds each frame's pyramid ONCE."""
+    img = img.astype(jnp.float32)
+    pyr = build_lk_pyramid(img, cfg.n_levels)
+    out = []
+    for lvl_img in pyr.levels:
+        dx, dy = imgproc.scharr_derivatives(lvl_img)
+        out.append((lvl_img, dx, dy))
+    return tuple(out)
+
+
+def calc_optical_flow_pyr_lk_pyr(
+    pyr_prev,
+    pyr_next,
     pts: jnp.ndarray,
     pts_valid: jnp.ndarray | None = None,
     cfg: LKConfig = LKConfig(),
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Analog of cv::calcOpticalFlowPyrLK (video/src/lkpyramid.cpp:1384).
-
-    pts: [N,2] (x, y) in prev_img coords. Returns (new_pts [N,2],
-    status [N] bool, err [N] f32 mean abs window residual).
-    """
-    prev_img = prev_img.astype(jnp.float32)
-    next_img = next_img.astype(jnp.float32)
-    h, w = prev_img.shape
+    """LK on prebuilt `build_flow_pyramid` outputs (pyramid-reuse path)."""
+    h, w = pyr_prev[0][0].shape
     if pts_valid is None:
         pts_valid = jnp.ones((pts.shape[0],), bool)
-
-    pyr_prev = build_lk_pyramid(prev_img, cfg.n_levels)
-    pyr_next = build_lk_pyramid(next_img, cfg.n_levels)
 
     top = cfg.n_levels - 1
     guess = pts / (2.0 ** top)
     status = pts_valid
     err = jnp.zeros((pts.shape[0],), jnp.float32)
     for lvl in range(top, -1, -1):
-        p_img = pyr_prev.levels[lvl]
-        n_img = pyr_next.levels[lvl]
-        dx, dy = imgproc.scharr_derivatives(p_img)
+        p_img, dx, dy = pyr_prev[lvl]
+        n_img = pyr_next[lvl][0]
         base = pts / (2.0 ** lvl)
         guess, min_eig, err = _track_level(p_img, n_img, dx, dy, base, guess, cfg)
         if lvl > 0:
@@ -130,3 +189,20 @@ def calc_optical_flow_pyr_lk(
     )
     status = status & inside
     return guess, status, err
+
+
+def calc_optical_flow_pyr_lk(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    pts: jnp.ndarray,
+    pts_valid: jnp.ndarray | None = None,
+    cfg: LKConfig = LKConfig(),
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Analog of cv::calcOpticalFlowPyrLK (video/src/lkpyramid.cpp:1384).
+
+    pts: [N,2] (x, y) in prev_img coords. Returns (new_pts [N,2],
+    status [N] bool, err [N] f32 mean abs window residual).
+    """
+    pyr_prev = build_flow_pyramid(prev_img, cfg)
+    pyr_next = build_flow_pyramid(next_img, cfg)
+    return calc_optical_flow_pyr_lk_pyr(pyr_prev, pyr_next, pts, pts_valid, cfg)

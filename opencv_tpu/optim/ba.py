@@ -6,13 +6,26 @@ forward differences and hand the full system to CvLevMarq — no sparsity
 exploitation (SURVEY.md §3.5). This module is the TPU-first replacement
 promised there: analytic (autodiff) Jacobians per observation, block
 J^T J assembly by segment-sums, Schur elimination of the (many) point
-blocks, and a dense solve only on the (few) camera blocks.
+blocks, and a solve on the (few) camera blocks.
+
+Two Schur solvers:
+
+  * `schur_solve` — explicit S = U - W V^-1 W^T with a dense [6C,6C]
+    factorization. Exact; memory O(C^2 + C*P) via the materialized W.
+    Used as the gold reference in tests and for tiny windows.
+  * `schur_cg_solve` — MATRIX-FREE preconditioned CG on S. W is never
+    materialized: each CG iteration applies S x through per-observation
+    [6,3] blocks A_o = Jc_o^T Jp_o with two gathers + two segment-sums
+    (memory O(O)). Block-Jacobi (U^-1) preconditioner. This is the path
+    that scales to global BA (hundreds of keyframes x 1e5 landmarks) and
+    the one `bundle_adjust` uses by default.
 
 Static-shape discipline: the observation list is a fixed-capacity SoA
 (cam_idx, pt_idx, uv, valid); masked observations contribute zeros.
 All block algebra is batched einsums — MXU-friendly, and the same
 segment-sums become `psum`s when observations are sharded over a mesh
-(parallel/dist_ba.py).
+(parallel/dist_ba.py passes `psum_axis` so each CG iteration reduces
+only a [P,3] and a [C,6] accumulator over ICI).
 """
 
 from __future__ import annotations
@@ -97,16 +110,22 @@ class BAStepState(NamedTuple):
     n_accepted: jnp.ndarray
 
 
-def schur_normal_equations(
-    p: BAProblem, huber_delta: float | None = None
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Assemble the block normal equations.
+class NormalEqs(NamedTuple):
+    """Block normal equations in sparse (per-observation) form.
 
-    Returns (U [C,6,6], V [P,3,3], W [C,P,6,3], bc [C,6], bp [P,3]) for
-    J^T J dx = -J^T r. This assembly is the piece that distributes: U, V,
-    W, bc, bp are sums over observations, so sharded observation ranges
-    psum into the same shapes.
-    """
+    U [C,6,6], V [P,3,3], bc [C,6], bp [P,3] are global accumulators
+    (psum-reduced when sharded); A [O,6,3] = Jc^T Jp stays per-observation
+    (and stays sharded) — it is the only W storage the CG path needs."""
+
+    U: jnp.ndarray
+    V: jnp.ndarray
+    bc: jnp.ndarray
+    bp: jnp.ndarray
+    A: jnp.ndarray
+
+
+def normal_equations(p: BAProblem, huber_delta: float | None = None) -> NormalEqs:
+    """Assemble the sparse block normal equations (no [C,P] W tensor)."""
     C = p.cam_rvec.shape[0]
     P = p.points.shape[0]
     r, Jc, Jp = _blocks(p, huber_delta)
@@ -116,16 +135,26 @@ def schur_normal_equations(
     V = jnp.zeros((P, 3, 3), jnp.float32).at[p.obs_pt].add(
         jnp.einsum("oij,oik->ojk", Jp, Jp, precision=_P32)
     )
-    W = jnp.zeros((C, P, 6, 3), jnp.float32).at[p.obs_cam, p.obs_pt].add(
-        jnp.einsum("oij,oik->ojk", Jc, Jp, precision=_P32)
-    )
     bc = jnp.zeros((C, 6), jnp.float32).at[p.obs_cam].add(
         -jnp.einsum("oij,oi->oj", Jc, r, precision=_P32)
     )
     bp = jnp.zeros((P, 3), jnp.float32).at[p.obs_pt].add(
         -jnp.einsum("oij,oi->oj", Jp, r, precision=_P32)
     )
-    return U, V, W, bc, bp
+    A = jnp.einsum("oij,oik->ojk", Jc, Jp, precision=_P32)  # [O,6,3]
+    return NormalEqs(U=U, V=V, bc=bc, bp=bp, A=A)
+
+
+def schur_normal_equations(
+    p: BAProblem, huber_delta: float | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """DENSE-W assembly (U, V, W [C,P,6,3], bc, bp). Gold reference for the
+    sparse path; only viable for small windows (W is O(C*P))."""
+    C = p.cam_rvec.shape[0]
+    P = p.points.shape[0]
+    eqs = normal_equations(p, huber_delta)
+    W = jnp.zeros((C, P, 6, 3), jnp.float32).at[p.obs_cam, p.obs_pt].add(eqs.A)
+    return eqs.U, eqs.V, W, eqs.bc, eqs.bp
 
 
 def schur_solve(
@@ -137,14 +166,13 @@ def schur_solve(
     lam: jnp.ndarray,
     fixed_cams: jnp.ndarray,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Solve the damped system via the Schur complement on cameras.
+    """Exact damped solve via the explicit Schur complement on cameras.
 
     S = U - W V^-1 W^T (reduced camera system, dense [6C, 6C]), then
     back-substitute points. Gauge: fixed cameras get a huge diagonal so
     their update is ~0 (then explicitly zeroed).
     """
     C = U.shape[0]
-    P = V.shape[0]
     eye6 = jnp.eye(6, dtype=U.dtype)
     eye3 = jnp.eye(3, dtype=U.dtype)
     big = jnp.where(fixed_cams, 1e12, 0.0)[:, None, None] * eye6[None]
@@ -165,11 +193,109 @@ def schur_solve(
     return dc, dp
 
 
-def ba_step(state: BAStepState, huber_delta: float | None = None) -> BAStepState:
+def _psum(x: jnp.ndarray, axis: str | None) -> jnp.ndarray:
+    return x if axis is None else lax.psum(x, axis)
+
+
+def schur_cg_solve(
+    eqs: NormalEqs,
+    obs_cam: jnp.ndarray,
+    obs_pt: jnp.ndarray,
+    lam: jnp.ndarray,
+    fixed_cams: jnp.ndarray,
+    cg_iters: int = 60,
+    psum_axis: str | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Matrix-free preconditioned CG on the Schur complement.
+
+    S x = Ud x - W Vd^-1 W^T x, applied per CG iteration through the
+    per-observation blocks A (two gathers + two segment-sums; W never
+    materialized). Preconditioner: block-Jacobi Ud^-1. Gauge handling:
+    fixed cameras are projected out of every vector (exact zero update).
+
+    With `psum_axis`, A/obs_cam/obs_pt are the LOCAL observation shard
+    and the two segment-sums psum into global [P,3] / [C,6] accumulators
+    — the entire per-iteration collective traffic.
+    """
+    C = eqs.U.shape[0]
+    A = eqs.A
+    eye6 = jnp.eye(6, dtype=eqs.U.dtype)
+    eye3 = jnp.eye(3, dtype=eqs.V.dtype)
+    Ud = eqs.U + lam * eye6[None]
+    Vd = eqs.V + lam * eye3[None]
+    # points with no observations have V=0; damping keeps Vd invertible,
+    # and their bp is 0 so their update is 0
+    Vinv = jnp.linalg.inv(Vd)
+    Minv = jnp.linalg.inv(Ud)  # block-Jacobi preconditioner
+    mask = jnp.where(fixed_cams, 0.0, 1.0)[:, None]  # [C,1]
+    P_pts = eqs.V.shape[0]
+
+    def WT_x(x):  # [C,6] -> [P,3]  (W^T x, global)
+        tx = jnp.einsum("oij,oi->oj", A, x[obs_cam], precision=_P32)  # [O,3]
+        g = jnp.zeros((P_pts, 3), jnp.float32).at[obs_pt].add(tx)
+        return _psum(g, psum_axis)
+
+    def W_z(z):  # [P,3] -> [C,6]  (W z, global)
+        wz = jnp.einsum("oij,oj->oi", A, z[obs_pt], precision=_P32)  # [O,6]
+        h = jnp.zeros((C, 6), jnp.float32).at[obs_cam].add(wz)
+        return _psum(h, psum_axis)
+
+    def S_mv(x):  # [C,6] -> [C,6], with gauge projection
+        x = x * mask
+        z = jnp.einsum("pij,pj->pi", Vinv, WT_x(x), precision=_P32)
+        out = jnp.einsum("cij,cj->ci", Ud, x, precision=_P32) - W_z(z)
+        return out * mask
+
+    def precond(r):
+        return jnp.einsum("cij,cj->ci", Minv, r, precision=_P32) * mask
+
+    rhs = (
+        eqs.bc
+        - W_z(jnp.einsum("pij,pj->pi", Vinv, eqs.bp, precision=_P32))
+    ) * mask
+
+    x0 = jnp.zeros_like(rhs)
+    r0 = rhs
+    z0 = precond(r0)
+    p0 = z0
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(_, carry):
+        x, r, pvec, rz = carry
+        Sp = S_mv(pvec)
+        denom = jnp.sum(pvec * Sp)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+        x = x + alpha * pvec
+        r = r - alpha * Sp
+        z = precond(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        pvec = z + beta * pvec
+        return x, r, pvec, rz_new
+
+    dc, _, _, _ = lax.fori_loop(0, cg_iters, body, (x0, r0, p0, rz0))
+    dc = dc * mask
+    # back-substitute: dp = Vinv (bp - W^T dc)
+    dp = jnp.einsum("pij,pj->pi", Vinv, eqs.bp - WT_x(dc), precision=_P32)
+    return dc, dp
+
+
+def ba_step(
+    state: BAStepState,
+    huber_delta: float | None = None,
+    solver: str = "cg",
+    cg_iters: int = 60,
+) -> BAStepState:
     """One damped LM step with accept/reject (levmarq.cpp:88-197 schedule)."""
     p = state.problem
-    U, V, W, bc, bp = schur_normal_equations(p, huber_delta)
-    dc, dp = schur_solve(U, V, W, bc, bp, state.lam, p.fixed_cams)
+    if solver == "cg":
+        eqs = normal_equations(p, huber_delta)
+        dc, dp = schur_cg_solve(
+            eqs, p.obs_cam, p.obs_pt, state.lam, p.fixed_cams, cg_iters
+        )
+    else:
+        U, V, W, bc, bp = schur_normal_equations(p, huber_delta)
+        dc, dp = schur_solve(U, V, W, bc, bp, state.lam, p.fixed_cams)
     new_p = p._replace(
         cam_rvec=p.cam_rvec + dc[:, :3],
         cam_tvec=p.cam_tvec + dc[:, 3:],
@@ -195,11 +321,13 @@ def bundle_adjust(
     iters: int = 20,
     lambda0: float = 1e-4,
     huber_delta: float | None = None,
+    solver: str = "cg",
+    cg_iters: int = 60,
 ) -> tuple[BAProblem, jnp.ndarray]:
     """Run `iters` LM steps. Returns (optimized problem, final cost)."""
 
     def body(_, state):
-        return ba_step(state, huber_delta)
+        return ba_step(state, huber_delta, solver=solver, cg_iters=cg_iters)
 
     state0 = BAStepState(
         problem=p, lam=jnp.float32(lambda0), cost=cost(p), n_accepted=jnp.int32(0)

@@ -100,6 +100,38 @@ def test_ba_converges_to_ground_truth(rng):
         np.testing.assert_allclose(np.asarray(opt.cam_tvec[c]), tvecs[c], atol=5e-3)
 
 
+def test_schur_cg_matches_dense_solve(rng):
+    """The matrix-free PCG Schur solver must reproduce the explicit dense
+    Schur factorization (the gold path) on the same normal equations."""
+    prob, *_ = make_ba_problem(rng, n_cams=5, n_pts=80, perturb=0.08)
+    lam = jnp.float32(1e-3)
+    U, V, W, bc, bp = ba.schur_normal_equations(prob, None)
+    dc_d, dp_d = ba.schur_solve(U, V, W, bc, bp, lam, prob.fixed_cams)
+    eqs = ba.normal_equations(prob, None)
+    dc_c, dp_c = ba.schur_cg_solve(
+        eqs, prob.obs_cam, prob.obs_pt, lam, prob.fixed_cams, cg_iters=120
+    )
+    scale = max(float(jnp.max(jnp.abs(dc_d))), 1e-6)
+    np.testing.assert_allclose(
+        np.asarray(dc_c), np.asarray(dc_d), atol=2e-3 * scale, rtol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(dp_c), np.asarray(dp_d), atol=5e-3 * max(float(jnp.max(jnp.abs(dp_d))), 1e-6), rtol=5e-3
+    )
+
+
+def test_ba_cg_converges_at_scale(rng):
+    """CG path converges on a larger sparse problem (each point seen by a
+    random subset of cameras — real sparsity, not the dense all-pairs)."""
+    prob, rvecs, tvecs, pts = make_ba_problem(rng, n_cams=10, n_pts=400)
+    # knock out 60% of observations to create irregular sparsity
+    keep = rng.random(prob.obs_valid.shape[0]) > 0.6
+    prob = prob._replace(obs_valid=jnp.asarray(np.asarray(prob.obs_valid) & keep))
+    c0 = float(ba.cost(prob))
+    opt, c1 = ba.bundle_adjust(prob, iters=20, solver="cg")
+    assert float(c1) < c0 * 1e-3
+
+
 def test_ba_respects_fixed_cameras(rng):
     prob, rvecs, tvecs, pts = make_ba_problem(rng)
     opt, _ = ba.bundle_adjust(prob, iters=5)

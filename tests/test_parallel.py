@@ -34,12 +34,19 @@ def test_sharded_ba_matches_single_device(rng):
     mesh = make_mesh(8, (DATA_AXIS,))
 
     U, V, W, bc, bp = ba.schur_normal_equations(prob, None)
-    Us, Vs, Ws, bcs, bps = dist_ba.sharded_normal_equations(prob, mesh, None)
-    np.testing.assert_allclose(np.asarray(Us), np.asarray(U), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(Vs), np.asarray(V), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(Ws), np.asarray(W), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(bcs), np.asarray(bc), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(bps), np.asarray(bp), rtol=1e-4, atol=1e-4)
+    eqs_s = dist_ba.sharded_normal_equations(prob, mesh, None)
+    np.testing.assert_allclose(np.asarray(eqs_s.U), np.asarray(U), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(eqs_s.V), np.asarray(V), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(eqs_s.bc), np.asarray(bc), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(eqs_s.bp), np.asarray(bp), rtol=1e-4, atol=1e-4)
+    # the sharded A rows, scatter-summed into W, must equal the dense W
+    W_from_A = np.zeros_like(np.asarray(W))
+    np.add.at(
+        W_from_A,
+        (np.asarray(prob.obs_cam), np.asarray(prob.obs_pt)),
+        np.asarray(eqs_s.A),
+    )
+    np.testing.assert_allclose(W_from_A, np.asarray(W), rtol=1e-4, atol=1e-4)
 
     opt_s, cost_s = dist_ba.bundle_adjust_sharded(prob, mesh, iters=10)
     opt_1, cost_1 = ba.bundle_adjust(prob, iters=10)
