@@ -116,12 +116,20 @@ def solve_pnp_ransac(
     valid: jnp.ndarray | None = None,
     cfg: RansacConfig = RansacConfig(threshold=2e-3),
     refine_iters: int = 10,
+    kernel: str = "p3p",
 ) -> PnPResult:
     """solvePnPRansac analog (solvepnp.cpp:196; GPU shape
     cudalegacy/src/calib3d.cpp:211). Normalized image coords; threshold is
     LINEAR reprojection distance in normalized units (px / focal).
     Final pose is Gauss-Newton-refined on all inliers (solvepnp.cpp:312
-    re-solves on the inlier set the same way)."""
+    re-solves on the inlier set the same way).
+
+    kernel: "p3p" (default; 4-point minimal sample — 3-point Grunert +
+    disambiguation point, planar-safe, needs far fewer all-inlier samples
+    at low inlier ratios) or "dlt" (6-point, degenerate on coplanar
+    samples — kept for comparison/tests)."""
+    from opencv_tpu.geometry.p3p import p3p_kernel
+
     n = obj_pts.shape[0]
     if valid is None:
         valid = jnp.ones((n,), bool)
@@ -131,15 +139,23 @@ def solve_pnp_ransac(
         seed=cfg.seed,
     )
 
-    def model_fn(idx):
-        rv, tv, ok = dlt_pnp(obj_pts[idx], img_pts[idx])
-        return jnp.concatenate([rv, tv]), ok
+    if kernel == "p3p":
+        subset = 4
+
+        def model_fn(idx):
+            return p3p_kernel(obj_pts[idx], img_pts[idx])
+    else:
+        subset = 6
+
+        def model_fn(idx):
+            rv, tv, ok = dlt_pnp(obj_pts[idx], img_pts[idx])
+            return jnp.concatenate([rv, tv]), ok
 
     def error_fn(model):
         d = project_points(model[:3], model[3:], obj_pts) - img_pts
         return jnp.sum(d * d, axis=-1)
 
-    res = ransac_mod.ransac(key, n, valid, 6, model_fn, error_fn, cfg2)
+    res = ransac_mod.ransac(key, n, valid, subset, model_fn, error_fn, cfg2)
     rvec, tvec = res.model[:3], res.model[3:]
     w = res.inliers.astype(jnp.float32)
     rvec, tvec = gn_refine_pose(rvec, tvec, obj_pts, img_pts, w, refine_iters)

@@ -42,27 +42,51 @@ def good_features_to_track(
     good = peak & (resp > thresh)
 
     if min_distance >= 1.0:
-        # grid-cell suppression: strongest corner per cell survives
+        # grid-cell suppression: strongest corner per cell survives.
+        # TPU shape: dense block-reshape argmax per cell, then top-k over
+        # the (few thousand) cell winners instead of a full-image sort —
+        # replaces both the reference's greedy min-distance pass
+        # (featureselect.cpp:361 partition-by-cells idea) and the global
+        # nth-element.
         cell = max(int(min_distance), 1)
-        gy = jnp.arange(h) // cell
-        gx = jnp.arange(w) // cell
         ncy = (h + cell - 1) // cell
         ncx = (w + cell - 1) // cell
-        cell_idx = gy[:, None] * ncx + gx[None, :]
         masked = jnp.where(good, resp, -jnp.inf)
-        cell_max = jnp.full((ncy * ncx,), -jnp.inf).at[cell_idx.reshape(-1)].max(
-            masked.reshape(-1)
+        padded = jnp.pad(
+            masked, ((0, ncy * cell - h), (0, ncx * cell - w)),
+            constant_values=-jnp.inf,
         )
-        good &= masked == cell_max[cell_idx]
+        blocks = padded.reshape(ncy, cell, ncx, cell).transpose(0, 2, 1, 3)
+        blocks = blocks.reshape(ncy * ncx, cell * cell)
+        cell_val = jnp.max(blocks, axis=1)  # [ncy*ncx]
+        cell_arg = jnp.argmax(blocks, axis=1)
+        cid = jnp.arange(ncy * ncx)
+        ys_all = (cid // ncx) * cell + cell_arg // cell
+        xs_all = (cid % ncx) * cell + cell_arg % cell
+        cand_valid = jnp.isfinite(cell_val)
+        # a coarse grid can have fewer cells than max_corners: clamp the
+        # top-k, then pad back out to the static [max_corners] record
+        k = min(max_corners, ncy * ncx)
+        cidx, keep = masked_top_k(
+            jnp.where(cand_valid, cell_val, -jnp.inf), cand_valid, k
+        )
+        pad = max_corners - k
+        cidx = jnp.pad(cidx, (0, pad))
+        keep = jnp.pad(keep, (0, pad))
+        ys = ys_all[cidx].astype(jnp.float32)
+        xs = xs_all[cidx].astype(jnp.float32)
+        response = jnp.where(keep, cell_val[cidx], -jnp.inf)
+    else:
+        idx, keep = masked_top_k(
+            jnp.where(good, resp, -jnp.inf).reshape(-1), good.reshape(-1), max_corners
+        )
+        ys = (idx // w).astype(jnp.float32)
+        xs = (idx % w).astype(jnp.float32)
+        response = jnp.where(keep, resp.reshape(-1)[idx], -jnp.inf)
 
-    idx, keep = masked_top_k(
-        jnp.where(good, resp, -jnp.inf).reshape(-1), good.reshape(-1), max_corners
-    )
-    ys = (idx // w).astype(jnp.float32)
-    xs = (idx % w).astype(jnp.float32)
     return KeyPoints(
         xy=jnp.stack([xs, ys], axis=-1),
-        response=jnp.where(keep, resp.reshape(-1)[idx], -jnp.inf),
+        response=response,
         angle=jnp.zeros_like(xs),
         level=jnp.zeros(xs.shape, jnp.int32),
         size=jnp.full(xs.shape, float(block_size), jnp.float32),

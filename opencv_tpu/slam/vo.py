@@ -22,10 +22,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from opencv_tpu.core.config import MatchConfig, ORBConfig, RansacConfig
+from opencv_tpu.core.config import LKConfig, MatchConfig, ORBConfig, RansacConfig
 from opencv_tpu.geometry import decompose, epipolar, homography as hom_mod, pnp
 from opencv_tpu.geometry.rotation import rodrigues, rodrigues_inv
-from opencv_tpu.ops import matching, orb
+from opencv_tpu.ops import lk as lk_mod, matching, orb
 from opencv_tpu.optim import ba
 
 
@@ -33,19 +33,40 @@ from opencv_tpu.optim import ba
 class VOConfig:
     orb: ORBConfig = ORBConfig(n_features=1000)
     match: MatchConfig = MatchConfig(ratio=0.8, cross_check=True)
-    # RANSAC thresholds in normalized coords (px / focal ~ 1.5px @ f=700)
-    essential_threshold: float = 2e-3
-    pnp_threshold: float = 3e-3
+    # inter-keyframe tracker: "orb" re-detects + re-matches every frame;
+    # "klt" tracks the keyframe's landmarks with pyramidal LK between
+    # keyframes (the reference pipeline shape: video/src/lkpyramid.cpp
+    # front-end + descriptor work only at keyframes) and falls back to
+    # ORB matching when the track thins out
+    tracker: str = "orb"
+    lk: "LKConfig" = None  # default LKConfig() resolved in __post_init__
+    klt_min_tracked: int = 40
+    # RANSAC thresholds in PIXELS; the engine divides by the focal length
+    # (geometry runs in normalized coords). Pixel units keep the gates
+    # camera-independent — a fixed normalized threshold silently tightens
+    # ~3x when moving from a f=700 to a f=260 camera.
+    essential_threshold_px: float = 1.0
+    pnp_threshold_px: float = 2.0
+    # parallax gates in PIXELS (same reasoning)
+    bootstrap_parallax_px: float = 8.0  # raw median match displacement
+    triangulation_parallax_px: float = 12.0  # rotation-compensated
     n_hypotheses: int = 1024
     min_track_inliers: int = 30
     keyframe_min_inliers: int = 60  # below this tracked count -> new KF
     keyframe_min_baseline: float = 0.12  # relative translation trigger
-    min_bootstrap_parallax: float = 0.015  # normalized units (~10px @ f=700)
+    # NOTE on the parallax gates above: at ~1 deg of true parallax both H
+    # and E estimates are irrecoverably noise-driven (measured: a wrong
+    # H decomposition can carry >90% parallax-filtered support), so the
+    # bootstrap waits for substantially more before initializing.
     max_landmarks: int = 8192
     window_size: int = 6
     window_landmark_cap: int = 2048
     ba_iters: int = 12
     min_parallax_depth: float = 120.0  # reject triangulations beyond this
+
+    def __post_init__(self):
+        if self.lk is None:
+            object.__setattr__(self, "lk", LKConfig(n_levels=4))
 
 
 class Keyframe:
@@ -68,6 +89,13 @@ class VisualOdometry:
     def __init__(self, K: np.ndarray, config: VOConfig = VOConfig(), seed: int = 0):
         self.K = np.asarray(K, np.float32)
         self.cfg = config
+        # pixel-domain thresholds -> normalized coords
+        f = float(self.K[0, 0] + self.K[1, 1]) / 2.0
+        self._e_thr = config.essential_threshold_px / f
+        self._pnp_thr = config.pnp_threshold_px / f
+        self._boot_parallax = config.bootstrap_parallax_px / f
+        self._tri_parallax = config.triangulation_parallax_px / f
+        self._huber = 3.0 / f
         self.key = jax.random.PRNGKey(seed)
         self.state = "init"  # init -> bootstrapping -> tracking
         self.frames = 0
@@ -81,6 +109,17 @@ class VisualOdometry:
         self._detect = jax.jit(
             functools.partial(orb.detect_and_compute, config=config.orb)
         )
+        # detections buffered during bootstrapping, retro-localized
+        # against the fresh map once initialization succeeds
+        self._preinit: list = []
+        # KLT tracker state (cfg.tracker == "klt")
+        self._prev_img: Optional[np.ndarray] = None
+        self._klt_px = np.zeros((config.orb.n_features, 2), np.float32)
+        self._klt_lm = np.full(config.orb.n_features, -1, np.int64)
+        self._klt_valid = np.zeros(config.orb.n_features, bool)
+        self._lk_track = jax.jit(
+            functools.partial(lk_mod.calc_optical_flow_pyr_lk, cfg=config.lk)
+        )
 
     # ---------- small helpers ----------
 
@@ -92,6 +131,11 @@ class VisualOdometry:
         fx, fy = self.K[0, 0], self.K[1, 1]
         cx, cy = self.K[0, 2], self.K[1, 2]
         return np.stack([(xy[:, 0] - cx) / fx, (xy[:, 1] - cy) / fy], axis=1)
+
+    def _denormalize(self, xy: np.ndarray) -> np.ndarray:
+        fx, fy = self.K[0, 0], self.K[1, 1]
+        cx, cy = self.K[0, 2], self.K[1, 2]
+        return np.stack([xy[:, 0] * fx + cx, xy[:, 1] * fy + cy], axis=1)
 
     def _alloc_landmarks(self, n: int) -> np.ndarray:
         free = np.flatnonzero(~self.lm_valid)
@@ -121,7 +165,7 @@ class VisualOdometry:
         # parallax gate: median match displacement must be large enough for
         # a well-conditioned essential matrix (ORB-SLAM-style init check)
         disp = np.linalg.norm(kf0.kp_xy[qi] - xy1[ti], axis=1)
-        if np.median(disp[mv]) < self.cfg.min_bootstrap_parallax:
+        if np.median(disp[mv]) < self._boot_parallax:
             return None
         x0 = jnp.asarray(kf0.kp_xy)
         x1full = jnp.asarray(xy1)
@@ -132,7 +176,7 @@ class VisualOdometry:
             valid=jnp.asarray(mv),
             cfg=RansacConfig(
                 n_hypotheses=self.cfg.n_hypotheses,
-                threshold=self.cfg.essential_threshold,
+                threshold=self._e_thr,
             ),
         )
         if not bool(res.ok) or int(res.n_inliers) < 50:
@@ -145,19 +189,25 @@ class VisualOdometry:
             valid=jnp.asarray(mv),
             cfg=RansacConfig(
                 n_hypotheses=self.cfg.n_hypotheses,
-                threshold=self.cfg.essential_threshold,
+                threshold=self._e_thr,
             ),
         )
-        use_h = bool(hres.ok) and int(hres.n_inliers) > 1.2 * int(res.n_inliers)
+        rec = epipolar.recover_pose(res.model, xq, xt, res.inliers)
+        # Degeneracy gate: a healthy essential matrix puts nearly ALL its
+        # inliers in front of both cameras after recoverPose; a planar /
+        # low-parallax degenerate solution splits them across the four
+        # (R, t) candidates. An indecisive split is a stronger degeneracy
+        # signal than the H-vs-E inlier-count ratio alone (a dominant
+        # plane can still leave E with the higher raw count).
+        e_decisive = int(rec.n_good) >= 0.9 * int(res.n_inliers)
+        use_h = (not e_decisive) or (
+            bool(hres.ok) and int(hres.n_inliers) > 1.2 * int(res.n_inliers)
+        )
+        out = None
         if use_h:
             out = self._pose_from_homography(hres, xq, xt)
-        else:
-            rec = epipolar.recover_pose(res.model, xq, xt, res.inliers)
-            out = (
-                (np.asarray(rec.R), np.asarray(rec.t), rec.mask)
-                if int(rec.n_good) >= 40
-                else None
-            )
+        if out is None and e_decisive and int(rec.n_good) >= 40:
+            out = (np.asarray(rec.R), np.asarray(rec.t), rec.mask)
         if out is None:
             return None
         R, t, cheir_mask = out
@@ -175,6 +225,20 @@ class VisualOdometry:
         )
         n_new = int(good.sum())
         if n_new < 30:
+            return None
+        # rotation-compensated parallax: subtract the R-induced flow from
+        # the measured displacement; what remains is translation-induced
+        # and must be large enough for a stable triangulation. (The raw
+        # displacement pregate above can be pure rotation, and a ray-angle
+        # check on the triangulation is self-fulfilling — the rays meet at
+        # X by construction whatever the pose.)
+        h0 = np.concatenate(
+            [kf0.kp_xy[qi], np.ones((qi.size, 1), np.float32)], axis=1
+        )
+        hr = h0 @ R.T
+        xr = hr[:, :2] / np.maximum(hr[:, 2:3], 1e-9)
+        rotflow = np.linalg.norm(xy1[ti] - xr, axis=1)
+        if np.median(rotflow[good]) < self._tri_parallax:
             return None
         slots = self._alloc_landmarks(n_new)
         sel = np.flatnonzero(good)[: len(slots)]
@@ -198,7 +262,7 @@ class VisualOdometry:
         dec = decompose.decompose_homography(
             hres.model, jnp.eye(3, dtype=jnp.float32)
         )
-        best = None
+        cands = []
         for i in range(4):
             if not bool(dec.valid[i]):
                 continue
@@ -213,13 +277,72 @@ class VisualOdometry:
             )
             z1 = X[:, 2]
             z2 = (X @ R.T + t)[:, 2]
-            good = (z1 > 0) & (z2 > 0) & np.asarray(hres.inliers)
-            n_good = int(good.sum())
-            if best is None or n_good > best[3]:
-                best = (R, t, good, n_good)
-        if best is None or best[3] < 40:
+            # parallax-aware support (the ORB-SLAM initializer check):
+            # cheirality of a near-zero-parallax triangulation is noise,
+            # and it is exactly what props up the wrong twin candidate
+            C1 = -R.T @ t
+            r0 = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            d1 = X - C1
+            r1 = d1 / np.maximum(np.linalg.norm(d1, axis=1, keepdims=True), 1e-12)
+            parallax_ok = (r0 * r1).sum(1) < np.cos(np.deg2rad(1.0))
+            good = (z1 > 0) & (z2 > 0) & np.asarray(hres.inliers) & parallax_ok
+            cands.append((R, t, good, int(good.sum())))
+        if not cands:
+            return None
+        cands.sort(key=lambda c: -c[3])
+        best = cands[0]
+        n_inl = int(hres.n_inliers)
+        second = cands[1][3] if len(cands) > 1 else 0
+        # the winning decomposition must be DECISIVE (the ORB-SLAM
+        # initializer thresholds): near-unanimous absolute support and a
+        # clear margin over the runner-up, else wait for more parallax
+        if best[3] < 50 or best[3] < 0.9 * n_inl or second > 0.75 * best[3]:
             return None
         return best[0], best[1], jnp.asarray(best[2])
+
+    def _reseed_klt(self, kp_xy_norm, kp_valid, lm_idx):
+        """Reset the KLT track set to the landmark-associated keypoints."""
+        n = self._klt_px.shape[0]
+        sel = np.flatnonzero((lm_idx >= 0) & kp_valid)[:n]
+        self._klt_px[:] = 0.0
+        self._klt_lm[:] = -1
+        self._klt_valid[:] = False
+        px = self._denormalize(kp_xy_norm[sel])
+        self._klt_px[: sel.size] = px
+        self._klt_lm[: sel.size] = lm_idx[sel]
+        self._klt_valid[: sel.size] = True
+
+    def _track_klt(self, img):
+        """LK-track the current landmark set and PnP the new positions.
+        Returns (rvec, tvec, n_inliers) or None (track too thin)."""
+        if self._prev_img is None or self._klt_valid.sum() < self.cfg.klt_min_tracked:
+            return None
+        new_px, status, _ = self._lk_track(
+            jnp.asarray(self._prev_img, jnp.float32),
+            jnp.asarray(img, jnp.float32),
+            jnp.asarray(self._klt_px),
+            jnp.asarray(self._klt_valid),
+        )
+        new_px = np.asarray(new_px)
+        status = np.asarray(status) & self._klt_valid & (self._klt_lm >= 0)
+        if status.sum() < self.cfg.klt_min_tracked:
+            return None
+        obj = jnp.asarray(self.lm_pos)[jnp.asarray(np.maximum(self._klt_lm, 0))]
+        img_pts = jnp.asarray(self._normalize(new_px))
+        res = pnp.solve_pnp_ransac(
+            self._next_key(), obj, img_pts,
+            valid=jnp.asarray(status),
+            cfg=RansacConfig(
+                n_hypotheses=self.cfg.n_hypotheses, threshold=self._pnp_thr
+            ),
+        )
+        n_inl = int(res.n_inliers)
+        if not bool(res.ok) or n_inl < self.cfg.min_track_inliers:
+            return None
+        # keep tracking inlier points only (outlier tracks have drifted)
+        self._klt_px[:] = new_px
+        self._klt_valid[:] = status & np.asarray(res.inliers)
+        return np.asarray(res.rvec), np.asarray(res.tvec), n_inl
 
     def _track(self, xy, desc, valid):
         """Frame-to-map PnP. Returns (rvec, tvec, n_inliers, lm_idx_per_kp)."""
@@ -234,7 +357,7 @@ class VisualOdometry:
             valid=jnp.asarray(mv),
             cfg=RansacConfig(
                 n_hypotheses=self.cfg.n_hypotheses,
-                threshold=self.cfg.pnp_threshold,
+                threshold=self._pnp_thr,
             ),
         )
         n_inl = int(res.n_inliers)
@@ -247,7 +370,7 @@ class VisualOdometry:
             np.asarray(res.rvec), np.asarray(res.tvec), n_inl, lm_idx,
         )
 
-    def _maybe_keyframe(self, frame_id, rvec, tvec, xy, desc, valid, lm_idx, n_inl):
+    def _need_keyframe(self, rvec, tvec, n_inl) -> bool:
         kf_last = self.keyframes[-1]
         baseline = np.linalg.norm(
             self._camera_center(rvec, tvec)
@@ -256,12 +379,17 @@ class VisualOdometry:
         scene_depth = np.median(
             self.lm_pos[self.lm_valid][:, 2]
         ) if self.lm_valid.any() else 1.0
-        need = (
+        return (
             n_inl < self.cfg.keyframe_min_inliers
             or baseline > self.cfg.keyframe_min_baseline * max(scene_depth, 1e-6)
         )
-        if not need:
+
+    def _maybe_keyframe(
+        self, frame_id, rvec, tvec, xy, desc, valid, lm_idx, n_inl, force=False
+    ):
+        if not (force or self._need_keyframe(rvec, tvec, n_inl)):
             return
+        kf_last = self.keyframes[-1]
         kf = Keyframe(frame_id, rvec.copy(), tvec.copy(), xy, desc, valid, lm_idx.copy())
         self._triangulate_new(kf_last, kf)
         self.keyframes.append(kf)
@@ -290,7 +418,7 @@ class VisualOdometry:
         z1 = X_c1[:, 2]
         r0 = X_c0[:, :2] / np.maximum(z0[:, None], 1e-9) - kf0.kp_xy[qi[sel]]
         r1 = X_c1[:, :2] / np.maximum(z1[:, None], 1e-9) - kf1.kp_xy[ti[sel]]
-        thr = self.cfg.pnp_threshold
+        thr = self._pnp_thr
         good = (
             (z0 > 0.1) & (z1 > 0.1) & (z0 < self.cfg.min_parallax_depth)
             & ((r0 ** 2).sum(1) < thr * thr) & ((r1 ** 2).sum(1) < thr * thr)
@@ -357,7 +485,7 @@ class VisualOdometry:
             obs_valid=jnp.asarray(obs_valid),
             fixed_cams=jnp.asarray(fixed),
         )
-        opt, _ = ba.bundle_adjust(prob, iters=self.cfg.ba_iters, huber_delta=5e-3)
+        opt, _ = ba.bundle_adjust(prob, iters=self.cfg.ba_iters, huber_delta=self._huber)
         new_rv = np.asarray(opt.cam_rvec)
         new_tv = np.asarray(opt.cam_tvec)
         for ci, kf in enumerate(win):
@@ -374,11 +502,13 @@ class VisualOdometry:
 
     def process(self, img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Process one grayscale frame; returns (rvec, tvec) world->cam."""
-        xy, desc, valid = self._detect_frame(img)
+        img = np.asarray(img, np.float32)
         frame_id = self.frames
         self.frames += 1
+        klt = self.cfg.tracker == "klt"
 
         if self.state == "init":
+            xy, desc, valid = self._detect_frame(img)
             kf = Keyframe(
                 frame_id,
                 np.zeros(3, np.float32), np.zeros(3, np.float32),
@@ -387,19 +517,63 @@ class VisualOdometry:
             self.keyframes.append(kf)
             self.poses.append((kf.rvec, kf.tvec))
             self.state = "bootstrapping"
+            self._prev_img = img
             return kf.rvec, kf.tvec
 
         if self.state == "bootstrapping":
+            xy, desc, valid = self._detect_frame(img)
             out = self._bootstrap(self.keyframes[0], xy, desc, valid, frame_id)
+            self._prev_img = img
             if out is None:
-                # not enough parallax yet: report previous pose
+                # not enough parallax yet: buffer the detection and report
+                # the previous pose; the frame is retro-localized against
+                # the map the moment bootstrap succeeds
+                self._preinit.append((frame_id, xy, desc, valid))
                 self.poses.append(self.poses[-1])
                 return self.poses[-1]
             self.state = "tracking"
             self.poses.append(out)
+            # retro-localize the buffered pre-init frames with PnP against
+            # the fresh map (real estimation — poses for every frame, not
+            # frozen-at-origin placeholders)
+            for fid, bxy, bdesc, bvalid in self._preinit:
+                t2 = self._track(bxy, bdesc, bvalid)
+                if t2 is not None:
+                    self.poses[fid] = (t2[0], t2[1])
+            self._preinit.clear()
+            if klt:
+                kf1 = self.keyframes[-1]
+                self._reseed_klt(kf1.kp_xy, kf1.kp_valid, kf1.landmark_idx)
             return out
 
+        # ---- tracking ----
+        if klt:
+            out = self._track_klt(img)
+            if out is not None:
+                rvec, tvec, n_inl = out
+                self.poses.append((rvec, tvec))
+                if self._need_keyframe(rvec, tvec, n_inl):
+                    # descriptor work happens only at keyframes: detect,
+                    # re-match to the map for landmark associations, then
+                    # keyframe + reseed the track set
+                    xy, desc, valid = self._detect_frame(img)
+                    t2 = self._track(xy, desc, valid)
+                    if t2 is not None:
+                        rvec, tvec, n_inl2, lm_idx = t2
+                        self.poses[-1] = (rvec, tvec)
+                        self._maybe_keyframe(
+                            frame_id, rvec, tvec, xy, desc, valid, lm_idx,
+                            n_inl2, force=True,
+                        )
+                        kf = self.keyframes[-1]
+                        self._reseed_klt(kf.kp_xy, kf.kp_valid, kf.landmark_idx)
+                self._prev_img = img
+                return self.poses[-1]
+            # KLT thinned out: fall through to the ORB matcher
+
+        xy, desc, valid = self._detect_frame(img)
         out = self._track(xy, desc, valid)
+        self._prev_img = img
         if out is None:
             # tracking lost: hold pose (re-localization is a later round)
             self.poses.append(self.poses[-1])
@@ -407,6 +581,9 @@ class VisualOdometry:
         rvec, tvec, n_inl, lm_idx = out
         self.poses.append((rvec, tvec))
         self._maybe_keyframe(frame_id, rvec, tvec, xy, desc, valid, lm_idx, n_inl)
+        if klt:
+            src = self.keyframes[-1]
+            self._reseed_klt(src.kp_xy, src.kp_valid, src.landmark_idx)
         return rvec, tvec
 
     def trajectory(self) -> np.ndarray:
