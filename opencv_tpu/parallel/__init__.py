@@ -1,1 +1,1 @@
-from opencv_tpu.parallel import dist_ba, dist_match, mesh  # noqa: F401
+from opencv_tpu.parallel import dist_ba, dist_match, mesh, multihost  # noqa: F401

@@ -29,11 +29,16 @@ from opencv_tpu.parallel.mesh import DATA_AXIS
 
 
 def sharded_normal_equations(
-    p: ba.BAProblem, mesh: Mesh, huber_delta: float | None = None
+    p: ba.BAProblem, mesh: Mesh, huber_delta: float | None = None,
+    axes: str | tuple[str, ...] = DATA_AXIS,
 ) -> ba.NormalEqs:
     """Sparse normal equations with observation arrays sharded over
-    DATA_AXIS. U/V/bc/bp come back replicated (psum'd); A comes back
-    row-sharded over observations (it never needs to be gathered)."""
+    `axes`. U/V/bc/bp come back replicated (psum'd); A comes back
+    row-sharded over observations (it never needs to be gathered).
+
+    `axes` may be a single mesh axis or a (host, chip) tuple from
+    parallel/multihost.py — observations then shard over the flattened
+    hierarchy and the psums reduce ICI-first, then DCN."""
 
     def assemble(cam_rvec, cam_tvec, points, fixed, obs_cam, obs_pt, obs_uv, obs_valid):
         local = ba.BAProblem(
@@ -41,15 +46,15 @@ def sharded_normal_equations(
         )
         eqs = ba.normal_equations(local, huber_delta)
         return ba.NormalEqs(
-            U=jax.lax.psum(eqs.U, DATA_AXIS),
-            V=jax.lax.psum(eqs.V, DATA_AXIS),
-            bc=jax.lax.psum(eqs.bc, DATA_AXIS),
-            bp=jax.lax.psum(eqs.bp, DATA_AXIS),
+            U=jax.lax.psum(eqs.U, axes),
+            V=jax.lax.psum(eqs.V, axes),
+            bc=jax.lax.psum(eqs.bc, axes),
+            bp=jax.lax.psum(eqs.bp, axes),
             A=eqs.A,
         )
 
     rep = P()
-    shd = P(DATA_AXIS)
+    shd = P(axes)
     return jax.shard_map(
         assemble,
         mesh=mesh,
@@ -66,6 +71,7 @@ def ba_step_sharded(
     mesh: Mesh,
     huber_delta: float | None = None,
     cg_iters: int = 60,
+    axes: str | tuple[str, ...] = DATA_AXIS,
 ) -> ba.BAStepState:
     """One LM step with distributed assembly + distributed Schur-CG
     (drop-in for ba.ba_step)."""
@@ -80,21 +86,21 @@ def ba_step_sharded(
         )
         eqs = ba.normal_equations(local, huber_delta)
         eqs = eqs._replace(
-            U=jax.lax.psum(eqs.U, DATA_AXIS),
-            V=jax.lax.psum(eqs.V, DATA_AXIS),
-            bc=jax.lax.psum(eqs.bc, DATA_AXIS),
-            bp=jax.lax.psum(eqs.bp, DATA_AXIS),
+            U=jax.lax.psum(eqs.U, axes),
+            V=jax.lax.psum(eqs.V, axes),
+            bc=jax.lax.psum(eqs.bc, axes),
+            bp=jax.lax.psum(eqs.bp, axes),
         )
         dc, dp = ba.schur_cg_solve(
             eqs, obs_cam, obs_pt, lam, fixed,
-            cg_iters=cg_iters, psum_axis=DATA_AXIS,
+            cg_iters=cg_iters, psum_axis=axes,
         )
         new_local = local._replace(
             cam_rvec=cam_rvec + dc[:, :3],
             cam_tvec=cam_tvec + dc[:, 3:],
             points=points + dp,
         )
-        c_new = jax.lax.psum(ba.cost(new_local), DATA_AXIS)
+        c_new = jax.lax.psum(ba.cost(new_local), axes)
         accept = (c_new < cost_prev) & jnp.isfinite(c_new)
         out_rvec = jnp.where(accept, new_local.cam_rvec, cam_rvec)
         out_tvec = jnp.where(accept, new_local.cam_tvec, cam_tvec)
@@ -104,7 +110,7 @@ def ba_step_sharded(
         return out_rvec, out_tvec, out_pts, new_lam, new_cost, accept
 
     rep = P()
-    shd = P(DATA_AXIS)
+    shd = P(axes)
     out_rvec, out_tvec, out_pts, lam, cost_new, accept = jax.shard_map(
         step_local,
         mesh=mesh,
@@ -129,10 +135,14 @@ def bundle_adjust_sharded(
     lambda0: float = 1e-4,
     huber_delta: float | None = None,
     cg_iters: int = 60,
+    axes: str | tuple[str, ...] = DATA_AXIS,
 ) -> tuple[ba.BAProblem, jnp.ndarray]:
     """Distributed bundle_adjust. Observation count must divide evenly by
-    the data-axis size (pad with obs_valid=False rows)."""
-    n_dev = mesh.shape[DATA_AXIS]
+    the sharded-axes size (pad with obs_valid=False rows)."""
+    ax_list = (axes,) if isinstance(axes, str) else axes
+    n_dev = 1
+    for a in ax_list:
+        n_dev *= mesh.shape[a]
     assert p.obs_cam.shape[0] % n_dev == 0, (
         f"pad observations ({p.obs_cam.shape[0]}) to a multiple of mesh "
         f"size ({n_dev})"
@@ -144,7 +154,8 @@ def bundle_adjust_sharded(
     )
     step = jax.jit(
         functools.partial(
-            ba_step_sharded, mesh=mesh, huber_delta=huber_delta, cg_iters=cg_iters
+            ba_step_sharded, mesh=mesh, huber_delta=huber_delta,
+            cg_iters=cg_iters, axes=axes,
         )
     )
     for _ in range(iters):
