@@ -320,6 +320,51 @@ def bench_config4():
     return 1.0 / dt
 
 
+# ------------------------------------------------- map-scale matching
+
+
+def bench_mapmatch(nq=2048, nt=262144):
+    """Frame-to-map matching at SLAM map scale (VERDICT r1 item 7): 2-NN
+    + ratio test of one frame's descriptors against a 256k-landmark map,
+    streaming Pallas kernel vs the dense XLA matcher. This is also the
+    FLANN-LSH kill-shot measurement: the reference's LSH index exists to
+    avoid brute force at this size; on the MXU, brute force IS the fast
+    path (numbers recorded in COVERAGE.md)."""
+    from opencv_tpu.core.config import MatchConfig
+    from opencv_tpu.ops import matching
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(
+        rng.integers(0, 2**32, size=(nq, 8), dtype=np.uint64).astype(np.uint32)
+    )
+    t = jnp.asarray(
+        rng.integers(0, 2**32, size=(nt, 8), dtype=np.uint64).astype(np.uint32)
+    )
+    cfg = MatchConfig(cross_check=False)
+
+    def timed(fn):
+        @jax.jit
+        def run(n):
+            def body(i, acc):
+                m = fn(jnp.bitwise_xor(q, acc.astype(jnp.uint32)[:, None]), t)
+                return acc * 0 + m.train_idx[:nq].astype(jnp.int32)
+
+            out = lax.fori_loop(0, n, body, jnp.zeros((nq,), jnp.int32))
+            return jnp.sum(out)
+
+        return device_time_per_trip(run, 10)
+
+    dt_stream = timed(
+        lambda qq, tt: matching.knn_match_auto(
+            qq, tt, config=cfg, force_streaming=True
+        )
+    )
+    dt_dense = timed(
+        lambda qq, tt: matching.knn_match(qq, tt, config=cfg)
+    )
+    return 1.0 / dt_stream, 1.0 / dt_dense
+
+
 # ------------------------------------------------------------------- main
 
 
@@ -375,6 +420,18 @@ def main():
             "vs_baseline": None,
             "baseline": None,
             "baseline_kind": "no_reference_equivalent",
+        }
+    )
+
+    mps_stream, mps_dense = bench_mapmatch()
+    results.append(
+        {
+            "metric": "mapmatch_256k_streaming_frames_per_s",
+            "value": round(mps_stream, 2),
+            "unit": "frame-vs-256k-map matches/s/chip",
+            "vs_baseline": round(mps_stream / mps_dense, 3),
+            "baseline": round(mps_dense, 2),
+            "baseline_kind": "dense_xla_matcher_same_chip",
         }
     )
 

@@ -110,3 +110,46 @@ def radius_match_mask(
     DescriptorMatcher::radiusMatch, matchers.cpp:900). Callers reduce the
     mask themselves — on TPU the full matrix is cheaper than compaction."""
     return hamming_matrix(query, train, query_valid, train_valid) <= max_distance
+
+
+# Map-scale matching: beyond this many train descriptors the dense
+# [Nq, Nt] distance matrix (4·Nq·Nt bytes of HBM) costs more to stream
+# back out of HBM than recomputing tiles in VMEM — switch to the Pallas
+# streaming 2-NN kernel (ops/pallas/knn.py), the TPU analog of the
+# reference's smem-cached CUDA matcher (cuda/bf_knnmatch.cu:377).
+STREAMING_TRAIN_THRESHOLD = 16384
+
+
+def knn_match_auto(
+    query: jnp.ndarray, train: jnp.ndarray,
+    query_valid: jnp.ndarray | None = None,
+    train_valid: jnp.ndarray | None = None,
+    config: MatchConfig = MatchConfig(),
+    streaming_threshold: int = STREAMING_TRAIN_THRESHOLD,
+    force_streaming: bool | None = None,
+    interpret: bool = False,
+) -> Matches:
+    """knn_match that auto-dispatches to the streaming Pallas kernel for
+    large train sets on TPU.
+
+    The streaming path drops cross-check (a second full pass over the
+    map); at map scale the ratio test + downstream geometric verification
+    (PnP/E RANSAC) is the outlier filter, matching how the reference's
+    GPU pipelines use knnMatch(k=2) without crossCheck. Below the
+    threshold, or off-TPU, behavior is exactly `knn_match(config)`.
+    """
+    use_streaming = (
+        train.shape[0] >= streaming_threshold
+        and jax.default_backend() == "tpu"
+        if force_streaming is None
+        else force_streaming
+    )
+    if not use_streaming:
+        return knn_match(query, train, query_valid, train_valid, config)
+    from opencv_tpu.ops.pallas import knn as pallas_knn
+
+    return pallas_knn.knn_match_streaming(
+        query, train, query_valid, train_valid,
+        ratio=config.ratio, max_distance=config.max_distance,
+        interpret=interpret,
+    )

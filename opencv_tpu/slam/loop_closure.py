@@ -53,7 +53,7 @@ def retrieve_candidates(
         return []
     flat_desc = db_desc[: k - exclude_recent].reshape(-1, 8)
     flat_valid = db_valid[: k - exclude_recent].reshape(-1)
-    m = matching.knn_match(
+    m = matching.knn_match_auto(
         jnp.asarray(query_desc), jnp.asarray(flat_desc),
         query_valid=jnp.asarray(query_valid), train_valid=jnp.asarray(flat_valid),
         config=MatchConfig(ratio=ratio, cross_check=False),

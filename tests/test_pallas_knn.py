@@ -53,3 +53,28 @@ def test_streaming_matcher_agrees_with_xla(rng):
     np.testing.assert_allclose(
         np.asarray(m_pl.distance)[v], np.asarray(m_xla.distance)[v]
     )
+
+
+def test_knn_match_auto_dispatch(rng):
+    """Auto dispatcher: dense below threshold / off-TPU; forced streaming
+    agrees with the dense matcher (dispatch plumbing, not kernel math)."""
+    from opencv_tpu.core.config import MatchConfig
+
+    q = rand_desc(rng, 32)
+    t = rand_desc(rng, 64)
+    cfg = MatchConfig(cross_check=False)
+    m_auto = matching.knn_match_auto(jnp.asarray(q), jnp.asarray(t), config=cfg)
+    m_dense = matching.knn_match(jnp.asarray(q), jnp.asarray(t), config=cfg)
+    np.testing.assert_array_equal(np.asarray(m_auto.valid), np.asarray(m_dense.valid))
+    np.testing.assert_array_equal(
+        np.asarray(m_auto.train_idx), np.asarray(m_dense.train_idx)
+    )
+    m_forced = matching.knn_match_auto(
+        jnp.asarray(q), jnp.asarray(t), config=cfg,
+        force_streaming=True, interpret=True,
+    )
+    v = np.asarray(m_dense.valid)
+    np.testing.assert_array_equal(np.asarray(m_forced.valid), v)
+    np.testing.assert_array_equal(
+        np.asarray(m_forced.train_idx)[v], np.asarray(m_dense.train_idx)[v]
+    )
