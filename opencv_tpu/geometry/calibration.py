@@ -188,3 +188,111 @@ def calibrate_camera(
         tvecs=p[9 + 3 * V :].reshape(V, 3).astype(np.float32),
         rms=rms,
     )
+
+
+# ------------------------------------------------------------- fisheye
+
+
+def fisheye_distort(xy: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
+    """Equidistant fisheye model (cv::fisheye, calib3d/src/fisheye.cpp):
+    normalized pinhole coords -> distorted normalized coords.
+    th_d = th (1 + k1 th^2 + k2 th^4 + k3 th^6 + k4 th^8)."""
+    r = jnp.sqrt(jnp.sum(xy * xy, axis=-1))
+    th = jnp.arctan(r)
+    th2 = th * th
+    th_d = th * (
+        1.0 + k[0] * th2 + k[1] * th2**2 + k[2] * th2**3 + k[3] * th2**4
+    )
+    scale = jnp.where(r > 1e-9, th_d / jnp.maximum(r, 1e-9), 1.0)
+    return xy * scale[..., None]
+
+
+def fisheye_undistort(
+    xy_d: jnp.ndarray, k: jnp.ndarray, iters: int = 10
+) -> jnp.ndarray:
+    """Invert fisheye_distort by Newton on theta (fisheye.cpp
+    undistortPoints's fixed-point loop)."""
+    r_d = jnp.sqrt(jnp.sum(xy_d * xy_d, axis=-1))
+
+    def body(_, th):
+        th2 = th * th
+        f = th * (
+            1.0 + k[0] * th2 + k[1] * th2**2 + k[2] * th2**3 + k[3] * th2**4
+        ) - r_d
+        df = (
+            1.0 + 3 * k[0] * th2 + 5 * k[1] * th2**2
+            + 7 * k[2] * th2**3 + 9 * k[3] * th2**4
+        )
+        return th - f / jnp.where(jnp.abs(df) < 1e-9, 1e-9, df)
+
+    th = lax.fori_loop(0, iters, body, r_d)
+    scale = jnp.where(r_d > 1e-9, jnp.tan(th) / jnp.maximum(r_d, 1e-9), 1.0)
+    return xy_d * scale[..., None]
+
+
+def fisheye_project_points(
+    rvec: jnp.ndarray, tvec: jnp.ndarray, K4: jnp.ndarray, k: jnp.ndarray,
+    obj_pts: jnp.ndarray,
+) -> jnp.ndarray:
+    """World [N,3] -> fisheye pixel coords [N,2]."""
+    R = rodrigues(rvec)
+    pc = obj_pts @ R.T + tvec
+    z = jnp.where(jnp.abs(pc[..., 2]) < 1e-9, 1e-9, pc[..., 2])
+    xy = pc[..., :2] / z[..., None]
+    xd = fisheye_distort(xy, k)
+    fx, fy, cx, cy = K4[0], K4[1], K4[2], K4[3]
+    return jnp.stack([xd[..., 0] * fx + cx, xd[..., 1] * fy + cy], axis=-1)
+
+
+def calibrate_fisheye(
+    obj_pts: np.ndarray,  # [V, N, 3] planar target (z = 0)
+    img_pts: np.ndarray,  # [V, N, 2]
+    refine_iters: int = 60,
+) -> CalibrationResult:
+    """cv::fisheye::calibrate analog: Zhang init on the (mildly wrong)
+    pinhole homographies, then joint autodiff LM over (fx fy cx cy,
+    k1..k4, all extrinsics) through the equidistant model — the same
+    one-residual-function design as calibrate_camera, different lens
+    map. Returns dist of length 4 (k1..k4)."""
+    V, N, _ = obj_pts.shape
+    homs = []
+    for v_ in range(V):
+        H, ok = dlt_homography(
+            jnp.asarray(obj_pts[v_, :, :2]), jnp.asarray(img_pts[v_])
+        )
+        homs.append(np.asarray(H, np.float64))
+    K4 = _zhang_intrinsics(homs)
+    rvecs, tvecs = zip(*[_extrinsics_from_h(h, K4) for h in homs])
+
+    obj_j = jnp.asarray(obj_pts)
+    img_j = jnp.asarray(img_pts)
+
+    def residual(params):
+        K4_ = params[:4]
+        k_ = params[4:8]
+        rv = params[8 : 8 + 3 * V].reshape(V, 3)
+        tv = params[8 + 3 * V :].reshape(V, 3)
+        proj = jax.vmap(
+            lambda r, t, o: fisheye_project_points(r, t, K4_, k_, o)
+        )(rv, tv, obj_j)
+        return (proj - img_j).reshape(-1)
+
+    x0 = jnp.concatenate(
+        [
+            jnp.asarray(K4),
+            jnp.zeros(4),
+            jnp.asarray(np.stack(rvecs)).reshape(-1),
+            jnp.asarray(np.stack(tvecs)).reshape(-1),
+        ]
+    )
+    res = levmarq(residual, x0, iters=refine_iters)
+    p = np.asarray(res.params)
+    rms = float(np.sqrt(2.0 * float(res.cost) / (V * N)))
+    K = np.array([[p[0], 0, p[2]], [0, p[1], p[3]], [0, 0, 1]], np.float32)
+    return CalibrationResult(
+        K=K,
+        dist=p[4:8].astype(np.float32),
+        rvecs=p[8 : 8 + 3 * V].reshape(V, 3).astype(np.float32),
+        tvecs=p[8 + 3 * V :].reshape(V, 3).astype(np.float32),
+        rms=rms,
+    )
