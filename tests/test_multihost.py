@@ -126,8 +126,10 @@ def test_real_two_process_ba(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     env = dict(os.environ)
+    tests_dir = os.path.dirname(os.path.abspath(__file__))
+    repo_root = os.path.dirname(tests_dir)
     env["PYTHONPATH"] = (
-        os.path.dirname(os.path.abspath(__file__))
+        tests_dir + os.pathsep + repo_root
         + os.pathsep + env.get("PYTHONPATH", "")
     )
     procs = [
