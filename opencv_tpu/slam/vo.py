@@ -27,6 +27,10 @@ from opencv_tpu.geometry import decompose, epipolar, homography as hom_mod, pnp
 from opencv_tpu.geometry.rotation import rodrigues, rodrigues_inv
 from opencv_tpu.ops import lk as lk_mod, matching, orb
 from opencv_tpu.optim import ba
+from opencv_tpu.slam import loop_closure
+
+_rodrigues_batch = jax.jit(jax.vmap(rodrigues))
+_rodrigues_inv_batch = jax.jit(jax.vmap(rodrigues_inv))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -59,6 +63,19 @@ class VOConfig:
     # H decomposition can carry >90% parallax-filtered support), so the
     # bootstrap waits for substantially more before initializing.
     max_landmarks: int = 8192
+    # loop closure (slam/loop_closure.py), checked at keyframe insertion:
+    # retrieval votes over the keyframe DB -> PnP verification against the
+    # candidate's local landmarks -> pose-graph relaxation over keyframes,
+    # propagated to landmarks (via their anchor keyframe) and past poses
+    enable_loop_closure: bool = True
+    loop_exclude_recent: int = 8  # never match the last k keyframes
+    loop_min_votes: int = 40
+    loop_min_inliers: int = 30
+    loop_cooldown: int = 5  # keyframes between accepted closures
+    # relocalization on tracking loss: retrieval + PnP verification against
+    # the best candidate keyframe's local landmarks (instead of holding the
+    # last pose forever)
+    relocalize: bool = True
     window_size: int = 6
     window_landmark_cap: int = 2048
     ba_iters: int = 12
@@ -106,6 +123,12 @@ class VisualOdometry:
         self.lm_pos = np.zeros((m, 3), np.float32)
         self.lm_desc = np.zeros((m, 8), np.uint32)
         self.lm_valid = np.zeros((m,), bool)
+        # anchoring keyframe (list index) per landmark: on a loop-closure
+        # pose-graph correction the landmark moves rigidly with its anchor
+        self.lm_anchor = np.full((m,), -1, np.int64)
+        self._last_loop_kf = -(10 ** 9)
+        self.loop_closures = 0  # accepted closures (observability counter)
+        self.relocalizations = 0
         self._detect = jax.jit(
             functools.partial(orb.detect_and_compute, config=config.orb)
         )
@@ -245,6 +268,7 @@ class VisualOdometry:
         self.lm_pos[slots] = X[sel]
         self.lm_desc[slots] = desc1[ti[sel]]
         self.lm_valid[slots] = True
+        self.lm_anchor[slots] = 0  # world frame == kf0 camera frame
         kf0.landmark_idx[qi[sel]] = slots
         rvec1 = np.asarray(rodrigues_inv(jnp.asarray(R, jnp.float32)))
         kf1 = Keyframe(
@@ -394,6 +418,8 @@ class VisualOdometry:
         self._triangulate_new(kf_last, kf)
         self.keyframes.append(kf)
         self._window_ba()
+        if self.cfg.enable_loop_closure:
+            self._try_loop_closure(len(self.keyframes) - 1)
 
     def _triangulate_new(self, kf0: Keyframe, kf1: Keyframe):
         """Create landmarks from unassociated matches between two KFs."""
@@ -433,6 +459,8 @@ class VisualOdometry:
         self.lm_pos[slots] = X_w[:n]
         self.lm_desc[slots] = kf1.desc[ti[sel[:n]]]
         self.lm_valid[slots] = True
+        # kf1 is about to be appended: its list index is len(keyframes)
+        self.lm_anchor[slots] = len(self.keyframes)
         kf0.landmark_idx[qi[sel[:n]]] = slots
         kf1.landmark_idx[ti[sel[:n]]] = slots
 
@@ -492,6 +520,135 @@ class VisualOdometry:
             kf.rvec = new_rv[ci]
             kf.tvec = new_tv[ci]
         self.lm_pos[seen] = np.asarray(opt.points)[: seen.size]
+
+    # ---------- loop closure & relocalization ----------
+
+    def _candidate_landmarks(self, i, pad_to=2048):
+        """Landmarks observed by keyframe i and its neighbours, padded to
+        a fixed capacity (bounds jit recompilation of the verifier)."""
+        lo, hi = max(0, i - 1), min(len(self.keyframes), i + 2)
+        lm = np.unique(
+            np.concatenate([self.keyframes[a].landmark_idx for a in range(lo, hi)])
+        )
+        lm = lm[lm >= 0]
+        lm = lm[self.lm_valid[lm]][:pad_to]
+        n = lm.size
+        pos = np.zeros((pad_to, 3), np.float32)
+        desc = np.zeros((pad_to, 8), np.uint32)
+        val = np.zeros(pad_to, bool)
+        pos[:n] = self.lm_pos[lm]
+        desc[:n] = self.lm_desc[lm]
+        val[:n] = True
+        return pos, desc, val, n
+
+    def _retrieve(self, desc, valid, exclude_recent):
+        """Vote old keyframes by descriptor matches (DB padded to a
+        multiple of 8 keyframes so the matmul shape is sticky)."""
+        k = len(self.keyframes) - exclude_recent
+        if k < 1:
+            return []
+        db_desc = np.stack([kf.desc for kf in self.keyframes[:k]])
+        db_valid = np.stack([kf.kp_valid for kf in self.keyframes[:k]])
+        pad = (-k) % 8
+        if pad:
+            db_desc = np.concatenate([db_desc, np.zeros((pad,) + db_desc.shape[1:], db_desc.dtype)])
+            db_valid = np.concatenate([db_valid, np.zeros((pad,) + db_valid.shape[1:], bool)])
+        cands = loop_closure.retrieve_candidates(
+            desc, valid, db_desc, db_valid,
+            exclude_recent=0, min_votes=self.cfg.loop_min_votes,
+        )
+        return [c for c in cands if c.kf_index < k]
+
+    def _try_loop_closure(self, j):
+        """On keyframe j's insertion: detect a revisit, verify it with PnP
+        against the candidate's (old, less-drifted) local map, and relax
+        the keyframe pose graph; propagate to landmarks and past poses."""
+        cfg = self.cfg
+        if j - self._last_loop_kf <= cfg.loop_cooldown:
+            return
+        if len(self.keyframes) <= cfg.loop_exclude_recent + 1:
+            return
+        kf = self.keyframes[j]
+        cands = self._retrieve(kf.desc, kf.kp_valid, cfg.loop_exclude_recent)
+        for cand in cands:
+            i = cand.kf_index
+            pos, desc, val, n = self._candidate_landmarks(i)
+            if n < cfg.loop_min_inliers:
+                continue
+            out = loop_closure.verify_candidate(
+                self._next_key(), kf.kp_xy, kf.desc, kf.kp_valid,
+                pos, desc, val,
+                min_inliers=cfg.loop_min_inliers, threshold=self._pnp_thr,
+            )
+            if out is None:
+                continue
+            rvec_q, tvec_q, _ = out
+            # loop edge: pose of j measured in the candidate's (trusted)
+            # frame, expressed relative to keyframe i
+            loop_rel = loop_closure.relative_from_world_poses(
+                self.keyframes[i].rvec, self.keyframes[i].tvec, rvec_q, tvec_q
+            )
+            old_rv = np.stack([k.rvec for k in self.keyframes])
+            old_tv = np.stack([k.tvec for k in self.keyframes])
+            new_rv, new_tv = loop_closure.correct_poses(
+                old_rv, old_tv, i, j, loop_rel
+            )
+            self._apply_pose_correction(old_rv, old_tv, new_rv, new_tv)
+            self._last_loop_kf = j
+            self.loop_closures += 1
+            return
+
+    def _apply_pose_correction(self, old_rv, old_tv, new_rv, new_tv):
+        """Move keyframes to corrected poses; carry each landmark rigidly
+        with its anchor keyframe and remap the per-frame pose history
+        relative to the keyframe that was current at that frame."""
+        R_old = np.asarray(_rodrigues_batch(jnp.asarray(old_rv)))
+        R_new = np.asarray(_rodrigues_batch(jnp.asarray(new_rv)))
+        for ci, kf in enumerate(self.keyframes):
+            kf.rvec = new_rv[ci]
+            kf.tvec = new_tv[ci]
+        # landmarks: X' = R_new^T (R_old X + t_old - t_new) per anchor
+        live = np.flatnonzero(self.lm_valid & (self.lm_anchor >= 0))
+        if live.size:
+            a = self.lm_anchor[live]
+            Xc = np.einsum("nij,nj->ni", R_old[a], self.lm_pos[live]) + old_tv[a]
+            self.lm_pos[live] = np.einsum(
+                "nji,nj->ni", R_new[a], Xc - new_tv[a]
+            )
+        # pose history: T_f' = (T_f T_a_old^-1) T_a_new, a = last KF <= f
+        kf_fids = np.array([k.frame_id for k in self.keyframes])
+        for f in range(len(self.poses)):
+            a = int(np.searchsorted(kf_fids, f, side="right")) - 1
+            if a < 0:
+                continue
+            rv_f, tv_f = self.poses[f]
+            Rf = np.asarray(rodrigues(jnp.asarray(rv_f, jnp.float32)))
+            Rrel = Rf @ R_old[a].T
+            trel = tv_f - Rrel @ old_tv[a]
+            Rp = Rrel @ R_new[a]
+            tp = Rrel @ new_tv[a] + trel
+            self.poses[f] = (
+                np.asarray(rodrigues_inv(jnp.asarray(Rp, jnp.float32))),
+                tp.astype(np.float32),
+            )
+
+    def _relocalize(self, xy, desc, valid):
+        """Tracking lost: retrieval over ALL keyframes + PnP verification
+        against each candidate's local landmarks."""
+        cands = self._retrieve(desc, valid, 0)
+        for cand in cands:
+            pos, cdesc, val, n = self._candidate_landmarks(cand.kf_index)
+            if n < self.cfg.min_track_inliers:
+                continue
+            out = loop_closure.verify_candidate(
+                self._next_key(), xy, desc, valid, pos, cdesc, val,
+                min_inliers=self.cfg.min_track_inliers,
+                threshold=2.0 * self._pnp_thr,
+            )
+            if out is not None:
+                self.relocalizations += 1
+                return out[0], out[1]
+        return None
 
     # ---------- public API ----------
 
@@ -575,9 +732,14 @@ class VisualOdometry:
         out = self._track(xy, desc, valid)
         self._prev_img = img
         if out is None:
-            # tracking lost: hold pose (re-localization is a later round)
-            self.poses.append(self.poses[-1])
-            return self.poses[-1]
+            # tracking lost: try retrieval-based relocalization before
+            # falling back to holding the last pose
+            rel = self._relocalize(xy, desc, valid) if self.cfg.relocalize else None
+            if rel is None:
+                self.poses.append(self.poses[-1])
+                return self.poses[-1]
+            self.poses.append(rel)
+            return rel
         rvec, tvec, n_inl, lm_idx = out
         self.poses.append((rvec, tvec))
         self._maybe_keyframe(frame_id, rvec, tvec, xy, desc, valid, lm_idx, n_inl)
