@@ -45,10 +45,10 @@ def test_detect_multi_scale_finds_scaled_pattern(rng):
     # pattern at 2x window scale (16x16) at (y=24, x=30)
     img[24:32, 30:46] = 220.0
     img[32:40, 30:46] = 30.0
-    boxes, valid = cascade.detect_multi_scale(
-        jnp.asarray(img), tiny_model(), scale0=1.25, n_scales=6
+    boxes, counts = cascade.detect_multi_scale(
+        jnp.asarray(img), tiny_model(), scale0=1.25, n_scales=6,
+        group_threshold=0,
     )
-    boxes = np.asarray(boxes)[np.asarray(valid)]
     assert len(boxes) >= 1
     # some detection overlaps the pattern center (38, 32)
     hit = any(
@@ -70,3 +70,48 @@ def test_loader_parses_reference_cascade():
     # thresholds/leaves finite
     assert np.isfinite(model.threshold).all()
     assert np.isfinite(model.stage_thresholds).all()
+
+
+REF_ALT = "/root/reference/data/haarcascades/haarcascade_frontalface_alt.xml"
+REF_LENA = "/root/reference/samples/data/lena.jpg"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(REF_ALT) and os.path.exists(REF_LENA)),
+    reason="reference data absent",
+)
+def test_real_cascade_detects_lena_face():
+    """End-to-end validation against the fork's SHIPPED artifacts: the
+    22-stage/2135-stump frontalface_alt cascade must localize the face in
+    the classic lena test image (OpenCV's own result: ~(217,203,173) at
+    512px, i.e. ~(108,102,86) at the 256px used here)."""
+    from PIL import Image
+
+    model = cascade.load_opencv_cascade(REF_ALT)
+    assert len(model.stage_thresholds) == 22
+    assert model.feature.size == 2135
+    img = np.asarray(
+        Image.open(REF_LENA).convert("L").resize((256, 256)), np.float32
+    )
+    boxes, counts = cascade.detect_multi_scale(
+        jnp.asarray(img), model, scale0=1.25, capacity=1024, group_threshold=2
+    )
+    assert len(boxes) >= 1, "no face found"
+    x, y, w, h = boxes[0]
+    gt = np.array([108.5, 101.5, 86.5, 86.5])
+    ix1 = max(x, gt[0]); iy1 = max(y, gt[1])
+    ix2 = min(x + w, gt[0] + gt[2]); iy2 = min(y + h, gt[1] + gt[3])
+    inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+    iou = inter / (w * h + gt[2] * gt[3] - inter)
+    assert iou > 0.5, f"face box {boxes[0]} vs GT {gt} (IoU {iou:.2f})"
+
+
+def test_group_rectangles_clusters_and_votes():
+    rects = np.array(
+        [[10, 10, 50, 50], [12, 11, 50, 50], [9, 12, 52, 52],
+         [200, 200, 40, 40]],  # lone outlier
+        np.float32,
+    )
+    boxes, counts = cascade.group_rectangles(rects, group_threshold=2, eps=0.2)
+    assert len(boxes) == 1 and counts[0] == 3
+    assert abs(boxes[0][0] - 10.33) < 0.1

@@ -2,6 +2,8 @@
 trained on the fly (the reference ships trained coefficients; we verify
 the machinery by training our own linear classifier on synthetic data)."""
 
+import os
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -39,10 +41,13 @@ def test_descriptor_shape_and_norm(rng):
 
 
 def test_descriptor_illumination_invariance(rng):
+    # near-invariance: the reference's exact L2-Hys adds constants to the
+    # norm denominators (hog.cpp:1163 sqrt(sum)+0.1*blockDim), so a gain
+    # change shifts features by O(eps/norm) — ~1%, same as the reference
     img = make_bar_window(rng)
     d1 = np.asarray(hog.compute_descriptor(jnp.asarray(img)))
     d2 = np.asarray(hog.compute_descriptor(jnp.asarray(img * 2.0)))
-    np.testing.assert_allclose(d1, d2, atol=1e-4)
+    np.testing.assert_allclose(d1, d2, rtol=0.05, atol=2e-3)
 
 
 def test_cell_histogram_orientation(rng):
@@ -95,7 +100,7 @@ def test_score_map_equals_per_window_descriptor(trained_svm, rng):
     img = rng.uniform(0, 60, size=(160, 96)).astype(np.float32)
     img[16:106, 40:52] += 150.0
     sm = np.asarray(hog.score_map(jnp.asarray(img), jnp.asarray(w), b))
-    feat = np.asarray(hog.block_features(hog.cell_histograms(jnp.asarray(img))))
+    feat = np.asarray(hog.block_histograms(jnp.asarray(img)))
     for (by, bx) in [(0, 0), (2, 1), (3, 3)]:
         d = feat[by : by + CFG.blocks_y, bx : bx + CFG.blocks_x].reshape(-1)
         np.testing.assert_allclose(sm[by, bx], d @ w + b, rtol=1e-3, atol=1e-3)
@@ -119,3 +124,53 @@ def test_detect_multi_scale_finds_target(trained_svm, rng):
     x, y, bw, bh = boxes[0]
     assert x <= 146 <= x + bw
     assert y <= 105 <= y + bh
+
+
+REF_HOG_CPP = "/root/reference/modules/objdetect/src/hog.cpp"
+REF_BB1 = "/root/reference/samples/data/basketball1.png"
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(REF_HOG_CPP) and os.path.exists(REF_BB1)),
+    reason="reference data absent",
+)
+def test_shipped_people_detector_fires_on_pedestrians():
+    """Validation against the fork's SHIPPED model: parse the
+    getDefaultPeopleDetector coefficients (hog.cpp:2174, data read at
+    runtime) and check the sliding classifier goes positive on the
+    upright players in basketball1.png — and stays negative on a
+    person-free texture."""
+    import re
+    from PIL import Image
+    from opencv_tpu.core import imgproc
+
+    body = (
+        open(REF_HOG_CPP).read()
+        .split("getDefaultPeopleDetector()")[1]
+        .split("return std::vector<float>")[0]
+    )
+    vals = np.asarray(
+        [float(x) for x in re.findall(r"(-?[\d.]+(?:e[+-]?\d+)?)f", body)],
+        np.float32,
+    )
+    assert vals.size == 3781  # 3780 weights + rho
+    w, bias = hog.load_opencv_detector(vals)
+    img = np.asarray(Image.open(REF_BB1).convert("L"), np.float32)
+    ji = jnp.asarray(img)
+    best = -np.inf
+    best_x = None
+    for si in (6, 8, 10):  # scales ~1.34-1.63: player height ~190 px
+        s = 1.05 ** si
+        scaled = imgproc.resize_bilinear(ji, int(img.shape[0] / s), int(img.shape[1] / s))
+        sm = np.asarray(hog.score_map(scaled, w, bias))
+        if sm.max() > best:
+            best = float(sm.max())
+            iy, ix = np.unravel_index(sm.argmax(), sm.shape)
+            best_x = ix * 8 * s
+    assert best > 0.3, f"no positive person score (best {best:.3f})"
+    assert 300 < best_x < 500, f"hit at x={best_x:.0f}, players are at x~350-470"
+    # negative control: a flat-texture noise image must not fire
+    rng = np.random.default_rng(0)
+    neg = rng.uniform(0, 255, (160, 96)).astype(np.float32)
+    smn = np.asarray(hog.score_map(jnp.asarray(neg), w, bias))
+    assert smn.max() < 0.0
