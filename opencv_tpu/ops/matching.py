@@ -52,9 +52,10 @@ def hamming_matrix(
     """
     q = signed_descriptors(query)
     t = signed_descriptors(train)
+    bits = q.shape[-1]  # 256 for ORB/BRIEF, 512 BRISK, 486 AKAZE MLDB...
     dot = jnp.dot(q, t.T, preferred_element_type=jnp.float32)
-    dist = (DESC_BITS - dot) * 0.5
-    big = jnp.float32(2 * DESC_BITS)
+    dist = (bits - dot) * 0.5
+    big = jnp.float32(2 * bits)
     if query_valid is not None:
         dist = jnp.where(query_valid[:, None], dist, big)
     if train_valid is not None:
@@ -78,7 +79,6 @@ def knn_match(
     """
     nq = query.shape[0]
     dist = hamming_matrix(query, train, query_valid, train_valid)  # [Nq, Nt]
-    big = jnp.float32(2 * DESC_BITS)
 
     neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)  # [Nq, 2]
     d1 = -neg_top2[:, 0]
