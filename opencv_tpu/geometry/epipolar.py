@@ -181,6 +181,101 @@ def triangulate_normalized(
     return X[..., :3] / w[..., None]
 
 
+def correct_matches(
+    F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray,
+    n_grid: int = 64, newton_iters: int = 8,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Optimal two-view triangulation correction (HZ algorithm 12.1;
+    cv::correctMatches, calib3d/src/triangulate.cpp:371): move each
+    correspondence the minimum total squared distance onto the epipolar
+    constraint x2' F x1 = 0. x1, x2: [N,2] (any projective frame F lives
+    in). Returns corrected (x1, x2).
+
+    TPU-native root finding: the reference solves the 6th-degree
+    polynomial g(t) per match; polynomial companion solves are f64
+    territory and branch on root realness. The cost s(t) is smooth with
+    <=3 minima, so a dense tan-space grid (n_grid samples over all of R,
+    including the t=inf branch) + fixed Newton polish finds the global
+    minimum branch-free and vmaps over every match at once.
+    """
+
+    def one(p1, p2):
+        # translate points to origin
+        T1 = jnp.array([[1.0, 0, p1[0]], [0, 1, p1[1]], [0, 0, 1]], F.dtype)
+        T2 = jnp.array([[1.0, 0, p2[0]], [0, 1, p2[1]], [0, 0, 1]], F.dtype)
+        Fp = T2.T @ F @ T1
+        # epipoles: right/left null vectors, normalized so e1^2+e2^2=1
+        _, _, vt = jnp.linalg.svd(Fp)
+        e1 = vt[-1]
+        u, _, _ = jnp.linalg.svd(Fp)
+        e2 = u[:, -1]
+        e1 = e1 / jnp.maximum(jnp.sqrt(e1[0] ** 2 + e1[1] ** 2), 1e-12)
+        e2 = e2 / jnp.maximum(jnp.sqrt(e2[0] ** 2 + e2[1] ** 2), 1e-12)
+        R1 = jnp.array(
+            [[e1[0], e1[1], 0], [-e1[1], e1[0], 0], [0, 0, 1.0]], F.dtype
+        )
+        R2 = jnp.array(
+            [[e2[0], e2[1], 0], [-e2[1], e2[0], 0], [0, 0, 1.0]], F.dtype
+        )
+        Fr = R2 @ Fp @ R1.T  # [[f f' d, -f' c, -f' d], [-f d, a, b], ...]
+        f1, f2 = e1[2], e2[2]
+        a, b, c, d = Fr[1, 1], Fr[1, 2], Fr[2, 1], Fr[2, 2]
+
+        def cost(t):
+            num1 = t * t / (1.0 + f1 * f1 * t * t)
+            den2 = (a * t + b) ** 2 + f2 * f2 * (c * t + d) ** 2
+            num2 = (c * t + d) ** 2 / jnp.maximum(den2, 1e-20)
+            return num1 + num2
+
+        theta = jnp.linspace(-jnp.pi / 2 * 0.999, jnp.pi / 2 * 0.999, n_grid)
+        ts = jnp.tan(theta)
+        cs = cost(ts)
+        t0 = ts[jnp.argmin(cs)]
+        dc = jax.grad(cost)
+        d2c = jax.grad(dc)
+
+        def newton(_, t):
+            g = dc(t)
+            h = d2c(t)
+            step = g / jnp.where(jnp.abs(h) < 1e-12, 1e-12, h)
+            step = jnp.clip(step, -1e3, 1e3)
+            tn = t - step
+            return jnp.where(cost(tn) < cost(t), tn, t)
+
+        t = jax.lax.fori_loop(0, newton_iters, newton, t0)
+        # t = inf candidate (cost = 1/f1^2 + c^2/(a^2 + f2^2 c^2))
+        cinf = 1.0 / jnp.maximum(f1 * f1, 1e-20) + c * c / jnp.maximum(
+            a * a + f2 * f2 * c * c, 1e-20
+        )
+        use_inf = cinf < cost(t)
+        # closest points on the epipolar lines: l1(t) = (t f1, 1, -t);
+        # (0, t, 1) lies on l1(t), so l2(t) = Fr (0, t, 1) (HZ 12.1 vii)
+        l1 = jnp.where(
+            use_inf,
+            jnp.array([f1, 0.0, -1.0], F.dtype),
+            jnp.stack([t * f1, jnp.ones_like(t), -t]),
+        )
+        x_h = jnp.where(
+            use_inf,
+            jnp.array([0.0, 1.0, 0.0], F.dtype),
+            jnp.stack([jnp.zeros_like(t), t, jnp.ones_like(t)]),
+        )
+        l2 = Fr @ x_h
+
+        def closest_to_origin(l):
+            s = l[0] ** 2 + l[1] ** 2
+            s = jnp.maximum(s, 1e-20)
+            return jnp.array(
+                [-l[0] * l[2] / s, -l[1] * l[2] / s, 1.0], F.dtype
+            )
+
+        q1 = T1 @ R1.T @ closest_to_origin(l1)
+        q2 = T2 @ R2.T @ closest_to_origin(l2)
+        return q1[:2] / q1[2], q2[:2] / q2[2]
+
+    return jax.vmap(one)(x1, x2)
+
+
 def decompose_essential(E: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """E -> (R1, R2, t) candidates (five-point.cpp:643
     decomposeEssentialMat): R1 = U W Vt, R2 = U Wt Vt, t = u3."""

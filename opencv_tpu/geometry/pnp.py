@@ -126,8 +126,10 @@ def solve_pnp_ransac(
 
     kernel: "p3p" (default; 4-point minimal sample — 3-point Grunert +
     disambiguation point, planar-safe, needs far fewer all-inlier samples
-    at low inlier ratios) or "dlt" (6-point, degenerate on coplanar
-    samples — kept for comparison/tests)."""
+    at low inlier ratios), "epnp" (5-point samples through the O(n)
+    solver, matching the reference solvePnPRansac's SOLVEPNP_EPNP model,
+    solvepnp.cpp:233), or "dlt" (6-point, degenerate on coplanar samples
+    — kept for comparison/tests)."""
     from opencv_tpu.geometry.p3p import p3p_kernel
 
     n = obj_pts.shape[0]
@@ -144,6 +146,13 @@ def solve_pnp_ransac(
 
         def model_fn(idx):
             return p3p_kernel(obj_pts[idx], img_pts[idx])
+    elif kernel == "epnp":
+        from opencv_tpu.geometry.epnp import epnp_kernel
+
+        subset = 5
+
+        def model_fn(idx):
+            return epnp_kernel(obj_pts[idx], img_pts[idx])
     else:
         subset = 6
 
