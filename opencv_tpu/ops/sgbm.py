@@ -36,10 +36,13 @@ from jax import lax
 
 from opencv_tpu.core import imgproc
 
-INF = jnp.float32(1e9)
+# plain Python floats: module-level jnp constants would initialise the
+# XLA backend at import, which breaks jax.distributed.initialize in
+# multi-host workers (it must run before any backend-touching call)
+INF = 1e9
 # finite "masked" cost: keeps the DP normalization (c + best - m) NaN-free
 # when every disparity of a column is out of range (left border)
-BIG = jnp.float32(3e4)
+BIG = 3e4
 
 
 @dataclasses.dataclass(frozen=True)

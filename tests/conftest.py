@@ -50,3 +50,14 @@ def checker_image():
     # random texture
     img += rng.normal(0, 10.0, (h, w)).astype(np.float32)
     return np.clip(img, 0, 255).astype(np.float32)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The suite jits hundreds of distinct programs; without this the
+    full-suite run accumulates every executable in process memory and
+    slows far past the sum of per-file runtimes."""
+    yield
+    jax.clear_caches()

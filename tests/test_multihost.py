@@ -126,6 +126,11 @@ def test_real_two_process_ba(tmp_path):
         s.bind(("localhost", 0))
         port = s.getsockname()[1]
     env = dict(os.environ)
+    # the ambient sitecustomize registers the axon PJRT backend (and so
+    # initialises JAX) whenever PALLAS_AXON_POOL_IPS is set — that must
+    # not happen before jax.distributed.initialize in the workers
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env["JAX_PLATFORMS"] = "cpu"
     tests_dir = os.path.dirname(os.path.abspath(__file__))
     repo_root = os.path.dirname(tests_dir)
     env["PYTHONPATH"] = (
