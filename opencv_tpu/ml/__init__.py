@@ -1,1 +1,1 @@
-from opencv_tpu.ml import classifiers, clustering  # noqa: F401
+from opencv_tpu.ml import classifiers, clustering, trees  # noqa: F401

@@ -103,3 +103,159 @@ def train_logistic_regression(
 
 def logistic_predict_proba(model: LinearModel, x: jnp.ndarray) -> jnp.ndarray:
     return jax.nn.sigmoid(x @ model.w + model.b)
+
+
+# ---------------------------------------------------------------- MLP ---
+
+class MLPModel(NamedTuple):
+    weights: tuple  # tuple of [in, out] matrices
+    biases: tuple   # tuple of [out] vectors
+
+
+def _mlp_forward(params: MLPModel, x: jnp.ndarray) -> jnp.ndarray:
+    h = x
+    n_layers = len(params.weights)
+    for i, (w, b) in enumerate(zip(params.weights, params.biases)):
+        h = h @ w + b
+        if i < n_layers - 1:
+            h = jnp.tanh(h)  # the reference's symmetric sigmoid
+    return h
+
+
+def train_mlp(
+    key: jax.Array,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    hidden: tuple[int, ...] = (16,),
+    n_classes: int = 2,
+    iters: int = 300,
+    eta0: float = 0.05,
+    eta_up: float = 1.2,
+    eta_down: float = 0.5,
+    eta_max: float = 5.0,
+    eta_min: float = 1e-6,
+) -> MLPModel:
+    """Multilayer perceptron trained with full-batch RPROP — the
+    reference ANN_MLP's default trainer (ml/src/ann_mlp.cpp; symmetric
+    sigmoid activations, softmax cross-entropy readout here).
+
+    RPROP is elementwise sign logic over the whole parameter pytree:
+    per-weight step sizes grow where the gradient sign persists and
+    shrink where it flips — exactly the kind of branch-free vector
+    update the VPU eats, and jax.grad replaces the hand-written
+    backprop tables."""
+    sizes = (x.shape[1],) + hidden + (n_classes,)
+    keys = jax.random.split(key, len(sizes) - 1)
+    ws = tuple(
+        jax.random.normal(k, (i, o)) * jnp.sqrt(2.0 / i)
+        for k, i, o in zip(keys, sizes[:-1], sizes[1:])
+    )
+    bs = tuple(jnp.zeros((o,)) for o in sizes[1:])
+    params = MLPModel(ws, bs)
+    onehot = jax.nn.one_hot(y, n_classes)
+
+    def loss(p):
+        logits = _mlp_forward(p, x)
+        return -jnp.mean(jnp.sum(onehot * jax.nn.log_softmax(logits), -1))
+
+    grad_fn = jax.grad(loss)
+    etas = jax.tree_util.tree_map(lambda w: jnp.full_like(w, eta0), params)
+    prev_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+
+    def step(carry, _):
+        p, etas, prev_g = carry
+        g = grad_fn(p)
+
+        def upd(w, gi, pg, eta):
+            same = gi * pg > 0
+            flip = gi * pg < 0
+            eta_new = jnp.clip(
+                jnp.where(same, eta * eta_up, jnp.where(flip, eta * eta_down, eta)),
+                eta_min, eta_max,
+            )
+            gi_eff = jnp.where(flip, 0.0, gi)  # classic RPROP- sign hold
+            w_new = w - jnp.sign(gi_eff) * eta_new
+            return w_new, eta_new, gi_eff
+
+        # three tree_maps over the same elementwise update; XLA CSEs the
+        # duplicate work under jit
+        p_new = jax.tree_util.tree_map(lambda w, gi, pg, eta: upd(w, gi, pg, eta)[0], p, g, prev_g, etas)
+        eta_new = jax.tree_util.tree_map(lambda w, gi, pg, eta: upd(w, gi, pg, eta)[1], p, g, prev_g, etas)
+        g_new = jax.tree_util.tree_map(lambda w, gi, pg, eta: upd(w, gi, pg, eta)[2], p, g, prev_g, etas)
+        return (p_new, eta_new, g_new), None
+
+    (params, _, _), _ = jax.lax.scan(step, (params, etas, prev_g), None, length=iters)
+    return params
+
+
+def mlp_predict_proba(model: MLPModel, x: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.softmax(_mlp_forward(model, x), axis=-1)
+
+
+# --------------------------------------------------------- kernel SVM ---
+
+class KernelSVM(NamedTuple):
+    alpha: jnp.ndarray   # [N] dual coefficients (already * y)
+    sv_x: jnp.ndarray    # [N, F] training points
+    kind: str            # "rbf" | "poly" | "linear"
+    gamma: float
+    degree: int
+    coef0: float
+
+
+def _kernel(kind, x1, x2, gamma, degree, coef0):
+    if kind == "rbf":
+        d2 = (
+            jnp.sum(x1 * x1, -1)[:, None]
+            - 2.0 * x1 @ x2.T
+            + jnp.sum(x2 * x2, -1)[None, :]
+        )
+        return jnp.exp(-gamma * jnp.maximum(d2, 0.0))
+    if kind == "poly":
+        return (gamma * (x1 @ x2.T) + coef0) ** degree
+    return x1 @ x2.T
+
+
+def train_kernel_svm(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    c: float = 1.0,
+    kind: str = "rbf",
+    gamma: float | None = None,
+    degree: int = 3,
+    coef0: float = 1.0,
+    iters: int = 300,
+) -> KernelSVM:
+    """C-SVC with RBF/poly/linear kernels (SVM::train analog,
+    ml/src/svm.cpp).
+
+    TPU-native solver: instead of SMO's sequential 2-variable updates,
+    the bias is absorbed into the kernel (K+1 trick) so the dual has box
+    constraints only, and projected gradient ascent runs on the full
+    Gram matrix — one [N,N] MXU matmul per iteration. y in {0,1}."""
+    n, f = x.shape
+    ys = 2.0 * y.astype(jnp.float32) - 1.0
+    if gamma is None:
+        gamma = 1.0 / (f * jnp.maximum(jnp.var(x), 1e-12))
+        gamma = float(gamma)
+    K = _kernel(kind, x, x, gamma, degree, coef0) + 1.0  # bias absorbed
+    Q = K * (ys[:, None] * ys[None, :])
+    # Lipschitz step from the Gram trace
+    step = 1.0 / jnp.maximum(jnp.max(jnp.sum(jnp.abs(Q), axis=1)), 1e-9)
+
+    def body(_, a):
+        g = 1.0 - Q @ a  # gradient of the dual objective
+        return jnp.clip(a + step * g, 0.0, c)
+
+    alpha = lax.fori_loop(0, iters, body, jnp.zeros((n,), jnp.float32))
+    return KernelSVM(
+        alpha=alpha * ys, sv_x=x, kind=kind,
+        gamma=float(gamma), degree=degree, coef0=coef0,
+    )
+
+
+def kernel_svm_decision(model: KernelSVM, x: jnp.ndarray) -> jnp.ndarray:
+    """Signed decision values [M] (positive -> class 1)."""
+    K = _kernel(model.kind, x, model.sv_x, model.gamma, model.degree,
+                model.coef0) + 1.0
+    return K @ model.alpha
