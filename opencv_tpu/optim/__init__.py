@@ -1,1 +1,1 @@
-from opencv_tpu.optim import ba, levmarq, pose_graph  # noqa: F401
+from opencv_tpu.optim import ba, levmarq, minimize, pose_graph  # noqa: F401
