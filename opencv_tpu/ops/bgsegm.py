@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 
@@ -137,3 +138,99 @@ def apply(
 
     fg = ~jnp.any(fits & is_bg, axis=0)
     return MOG2State(w_new, mu_new, var_new), fg
+
+
+# --------------------------------------------------------------- GMG ---
+
+class GMGState(NamedTuple):
+    """Godbehere-Matsukawa-Goldberg background model (cudalegacy GMG /
+    bgsegm's BackgroundSubtractorGMG): per-pixel quantized-color
+    histograms with Bayesian foreground posterior, trained on the first
+    `n_init_frames` frames."""
+    hist: jnp.ndarray        # [B, H, W] bin weights
+    frame_idx: jnp.ndarray   # i32
+
+
+def gmg_init(h: int, w: int, n_bins: int = 16) -> GMGState:
+    return GMGState(
+        hist=jnp.zeros((n_bins, h, w), jnp.float32),
+        frame_idx=jnp.int32(0),
+    )
+
+
+def gmg_apply(
+    state: GMGState,
+    img: jnp.ndarray,
+    n_init_frames: int = 30,
+    learning_rate: float = 0.025,
+    decision_threshold: float = 0.8,
+) -> tuple[GMGState, jnp.ndarray]:
+    """One frame: returns (state, fg mask [H,W] bool). During the first
+    n_init_frames only the model trains (mask = all background)."""
+    n_bins = state.hist.shape[0]
+    x = jnp.clip(img.astype(jnp.float32), 0.0, 255.0)
+    b = jnp.clip((x / 256.0 * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    onehot = jax.nn.one_hot(b, n_bins, axis=0)  # [B, H, W]
+
+    total = jnp.sum(state.hist, axis=0)
+    w_cur = jnp.sum(state.hist * onehot, axis=0)
+    p_bg = w_cur / jnp.maximum(total, 1e-6)
+    fg = (1.0 - p_bg) > decision_threshold
+    training = state.frame_idx < n_init_frames
+    fg = jnp.where(training, False, fg)
+
+    # train: accumulate; run: blend into background for bg pixels only
+    upd_train = state.hist + onehot
+    blend = jnp.where(fg[None], 0.0, learning_rate)
+    upd_run = state.hist * (1.0 - blend) + onehot * blend
+    hist = jnp.where(training, upd_train, upd_run)
+    return GMGState(hist=hist, frame_idx=state.frame_idx + 1), fg
+
+
+# --------------------------------------------------------------- FGD ---
+
+class FGDState(NamedTuple):
+    """Li et al. FGD (cudalegacy fgd.cpp): Bayes decision between
+    learned background/foreground color-feature statistics plus a
+    maintained reference background image."""
+    bg: jnp.ndarray       # [H, W] reference background
+    hist_bg: jnp.ndarray  # [B, H, W] stats of colors seen as background
+    hist_fg: jnp.ndarray  # [B, H, W] stats of colors seen as foreground
+
+
+def fgd_init(img: jnp.ndarray, n_bins: int = 32) -> FGDState:
+    h, w = img.shape
+    return FGDState(
+        bg=img.astype(jnp.float32),
+        hist_bg=jnp.zeros((n_bins, h, w), jnp.float32),
+        hist_fg=jnp.zeros((n_bins, h, w), jnp.float32),
+    )
+
+
+def fgd_apply(
+    state: FGDState,
+    img: jnp.ndarray,
+    delta: float = 12.0,
+    alpha: float = 0.02,
+    prior_fg: float = 0.15,
+) -> tuple[FGDState, jnp.ndarray]:
+    """One frame: change detection vs the reference background, Bayes
+    re-classification from the learned color tables, model update."""
+    n_bins = state.hist_bg.shape[0]
+    x = img.astype(jnp.float32)
+    changed = jnp.abs(x - state.bg) > delta
+
+    b = jnp.clip((x / 256.0 * n_bins).astype(jnp.int32), 0, n_bins - 1)
+    onehot = jax.nn.one_hot(b, n_bins, axis=0)
+    w_bg = jnp.sum(state.hist_bg * onehot, axis=0)
+    w_fg = jnp.sum(state.hist_fg * onehot, axis=0)
+    # Bayes veto: a changed pixel is foreground unless its color has a
+    # strong background history (the FGD tables exist to ABSORB dynamic
+    # background — swaying trees — not to gate novel colors, which must
+    # default to foreground; Li et al.'s unlearned case)
+    fg = changed & (prior_fg * (w_fg + 1.0) > (1 - prior_fg) * w_bg)
+
+    hist_bg = state.hist_bg * (1 - alpha) + onehot * alpha * (~fg)[None]
+    hist_fg = state.hist_fg * (1 - alpha) + onehot * alpha * fg[None]
+    bg = jnp.where(fg, state.bg, state.bg * (1 - alpha) + x * alpha)
+    return FGDState(bg=bg, hist_bg=hist_bg, hist_fg=hist_fg), fg
