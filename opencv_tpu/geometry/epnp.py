@@ -78,13 +78,12 @@ def _pose_from_betas(
     sign = jnp.where(jnp.sum(jnp.sign(pc[:, 2])) >= 0, 1.0, -1.0)
     pc = pc * sign
     # Horn / Kabsch world->camera
+    from opencv_tpu.geometry.rotation import project_to_rotation
+
     muW = obj_pts.mean(0)
     muC = pc.mean(0)
     H = jnp.einsum("ni,nj->ij", pc - muC, obj_pts - muW, precision=_P32)
-    u, _, vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(u @ vt))
-    S = jnp.diag(jnp.array([1.0, 1.0, d]))
-    R = u @ S @ vt
+    R = project_to_rotation(H)  # SVD-free polar iteration (batched-fast)
     t = muC - R @ muW
     return R, t
 

@@ -92,13 +92,14 @@ def _durand_kerner(coeffs: jnp.ndarray, iters: int = 40) -> jnp.ndarray:
 
 def _kabsch3(Y: jnp.ndarray, X: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Rigid transform with Y_i ~= R @ X_i + t for 3 correspondences."""
+    from opencv_tpu.geometry.rotation import project_to_rotation
+
     muY = Y.mean(axis=0)
     muX = X.mean(axis=0)
     H = jnp.einsum("ni,nj->ij", Y - muY, X - muX, precision=_P32)
-    u, _, vt = jnp.linalg.svd(H)
-    d = jnp.sign(jnp.linalg.det(u @ vt))
-    s = jnp.diag(jnp.array([1.0, 1.0, 1.0]).at[2].set(d))
-    R = u @ s @ vt
+    # nearest rotation via the SVD-free polar iteration (this runs once
+    # per RANSAC hypothesis x4 roots — batched 3x3 SVD is the bottleneck)
+    R = project_to_rotation(H)
     t = muY - R @ muX
     return R, t
 
