@@ -1,1 +1,1 @@
-from opencv_tpu.utils import evaluate, viz  # noqa: F401
+from opencv_tpu.utils import evaluate, guard, viz  # noqa: F401
