@@ -376,3 +376,163 @@ def group_rectangles(
     if not out_boxes:
         return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
     return np.stack(out_boxes).astype(np.float32), np.asarray(out_counts, np.int32)
+
+
+# ------------------------------------------------------------- LBP ---
+
+class LBPCascadeModel(NamedTuple):
+    """LBP cascade (cascadedetect.hpp LBPEvaluator + predictCategoricalStump;
+    shipped models in data/lbpcascades/). Each feature is ONE cell rect
+    (x, y, w, h); the descriptor covers the 3x3 grid of such cells. Each
+    stump carries a 256-bit subset (8 x int32): code-bit set -> left leaf.
+    LBP needs NO window normalization (illumination-invariant by design)."""
+
+    window: tuple[int, int]
+    rects: np.ndarray        # [F, 4] i32 (x, y, w, h) of the top-left cell
+    feature: np.ndarray      # [S] i32
+    subsets: np.ndarray      # [S, 8] i32 (raw two's-complement words)
+    left: np.ndarray         # [S] f32
+    right: np.ndarray        # [S] f32
+    stage_offsets: np.ndarray
+    stage_thresholds: np.ndarray
+
+
+def load_opencv_lbp_cascade(path: str) -> LBPCascadeModel:
+    """Parse an LBP cascade XML (featureType LBP)."""
+    root = ET.parse(path).getroot()
+    c = root.find("cascade")
+    if c is None or (c.findtext("featureType") or "").strip() != "LBP":
+        raise ValueError("not an LBP cascade")
+    wh = (int(c.findtext("height")), int(c.findtext("width")))
+    rects = []
+    for f in c.find("features"):
+        vals = [int(v) for v in f.findtext("rect").split()]
+        rects.append(vals[:4])
+    feature, subsets, left, right = [], [], [], []
+    offsets = [0]
+    thresholds = []
+    for stage in c.find("stages"):
+        thresholds.append(float(stage.findtext("stageThreshold")))
+        for wc in stage.find("weakClassifiers"):
+            inter = [int(v) for v in wc.findtext("internalNodes").split()]
+            # stump: [left-child=0, right-child=-1, featIdx, 8 subset words]
+            if len(inter) != 11:
+                raise ValueError("tree-based LBP cascade not supported")
+            leaf = [float(v) for v in wc.findtext("leafValues").split()]
+            feature.append(inter[2])
+            subsets.append(inter[3:11])
+            left.append(leaf[0])
+            right.append(leaf[1])
+        offsets.append(len(feature))
+    return LBPCascadeModel(
+        window=wh,
+        rects=np.asarray(rects, np.int32),
+        feature=np.asarray(feature, np.int32),
+        subsets=np.asarray(subsets, np.int64).astype(np.uint32),
+        left=np.asarray(left, np.float32),
+        right=np.asarray(right, np.float32),
+        stage_offsets=np.asarray(offsets, np.int32),
+        stage_thresholds=np.asarray(thresholds, np.float32),
+    )
+
+
+def _lbp_scale_impl(img, model: LBPCascadeModel):
+    """Evaluation of ALL stages at one scale: accept map [oh, ow].
+
+    Fully batched over features: ONE [F, 4, 4, oh, ow] gather reads every
+    feature's 16 integral-image grid corners, cell sums and the 8-bit LBP
+    codes (reference bit order, LBPEvaluator::calc — clockwise from
+    top-left, mid-left last) come out as [F, oh, ow], the 256-bit subset
+    lookup is a take_along_axis per stump, and stage sums are one
+    scatter-add over the stage ids — a handful of large fused ops instead
+    of thousands of per-stump slices (which take minutes to compile)."""
+    wh, ww = model.window
+    h, w = img.shape
+    out_h, out_w = h - wh + 1, w - ww + 1
+    ii = imgproc.integral(img.astype(jnp.float32))  # [h+1, w+1]
+
+    x0 = jnp.asarray(model.rects[:, 0])  # [F]
+    y0 = jnp.asarray(model.rects[:, 1])
+    cw = jnp.asarray(model.rects[:, 2])
+    ch = jnp.asarray(model.rects[:, 3])
+    gy = y0[:, None] + ch[:, None] * jnp.arange(4)[None, :]  # [F, 4]
+    gx = x0[:, None] + cw[:, None] * jnp.arange(4)[None, :]
+    yy = lax.broadcasted_iota(jnp.int32, (out_h, out_w), 0)
+    xx = lax.broadcasted_iota(jnp.int32, (out_h, out_w), 1)
+    Y = gy[:, :, None, None, None] + yy[None, None, None]  # [F,4,1,oh,ow]
+    X = gx[:, None, :, None, None] + xx[None, None, None]  # [F,1,4,oh,ow]
+    corners = ii[Y, X]  # [F, 4, 4, oh, ow] via one big gather
+
+    cells = (
+        corners[:, 1:, 1:] - corners[:, :-1, 1:]
+        - corners[:, 1:, :-1] + corners[:, :-1, :-1]
+    )  # [F, 3, 3, oh, ow]
+    center = cells[:, 1, 1]
+    bits = {(0, 0): 7, (0, 1): 6, (0, 2): 5, (1, 2): 4, (2, 2): 3,
+            (2, 1): 2, (2, 0): 1, (1, 0): 0}
+    code = jnp.zeros(center.shape, jnp.int32)
+    for (r, cc), b in bits.items():
+        code = code | ((cells[:, r, cc] >= center).astype(jnp.int32) << b)
+    # codes per stump
+    code_s = code[jnp.asarray(model.feature)]  # [S, oh, ow]
+    subsets = jnp.asarray(model.subsets)  # [S, 8] uint32
+    word = jnp.take_along_axis(
+        subsets[:, :, None, None],
+        (code_s >> 5)[:, None], axis=1,
+    )[:, 0]  # [S, oh, ow]
+    hit = (word >> (code_s & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    vals = jnp.where(
+        hit == 1,
+        jnp.asarray(model.left)[:, None, None],
+        jnp.asarray(model.right)[:, None, None],
+    )  # [S, oh, ow]
+    # stage sums: scatter-add stump values onto their stage id
+    n_stages = len(model.stage_thresholds)
+    stage_of = np.repeat(
+        np.arange(n_stages), np.diff(model.stage_offsets)
+    ).astype(np.int32)
+    sums = jnp.zeros((n_stages, out_h, out_w), jnp.float32).at[
+        jnp.asarray(stage_of)
+    ].add(vals)
+    ok = sums >= jnp.asarray(model.stage_thresholds)[:, None, None]
+    return jnp.all(ok, axis=0)
+
+
+_lbp_fn_cache: dict = {}
+
+
+def detect_multi_scale_lbp(
+    img: jnp.ndarray,
+    model: LBPCascadeModel,
+    scale0: float = 1.2,
+    n_scales: int = 24,
+    max_detections: int = 64,
+    group_threshold: int = 2,
+    group_eps: float = 0.2,
+):
+    """detectMultiScale for LBP cascades: image pyramid + dense stage
+    evaluation + groupRectangles (same driver shape as the Haar path)."""
+    h, w = img.shape
+    wh, ww = model.window
+    fn = _lbp_fn_cache.get(id(model))
+    if fn is None:
+        fn = jax.jit(lambda im: _lbp_scale_impl(im, model))
+        _lbp_fn_cache[id(model)] = fn
+    raw = []
+    for si in range(n_scales):
+        s = scale0 ** si
+        sh, sw = int(h / s), int(w / s)
+        if sh < wh + 2 or sw < ww + 2:
+            break
+        scaled = imgproc.resize_bilinear(img, sh, sw) if si else img.astype(jnp.float32)
+        accept = np.asarray(fn(scaled))
+        ys, xs = np.where(accept)
+        for y, x in zip(ys, xs):
+            raw.append((x * s, y * s, ww * s, wh * s))
+    if not raw:
+        return np.zeros((0, 4), np.float32), np.zeros((0,), np.int32)
+    boxes, counts = group_rectangles(
+        np.asarray(raw, np.float32), group_threshold, group_eps
+    )
+    order = np.argsort(-counts)[:max_detections]
+    return boxes[order], counts[order]
