@@ -385,18 +385,71 @@ def find_essential_ransac_5pt(
     )
 
 
+def _sampson_gn_refine(
+    E: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray, w: jnp.ndarray,
+    thr2: float | jnp.ndarray = 1.0,
+    iters: int = 4,
+) -> jnp.ndarray:
+    """Gauss-Newton on the SIGNED Sampson residual over vec(E), with a
+    projection back onto the essential manifold each step — the
+    geometric-optimum polish the weighted 8-point (algebraic) refit
+    cannot reach. Mirrors the reference pipelines that follow RANSAC
+    with an LM refine (findHomography's HomographyRefineCallback shape,
+    fundam.cpp:214, applied here to E)."""
+
+    def residuals(e):
+        Em = e.reshape(3, 3)
+        ones = jnp.ones_like(x1[..., :1])
+        p1 = jnp.concatenate([x1, ones], -1)
+        p2 = jnp.concatenate([x2, ones], -1)
+        Ex1 = p1 @ Em.T
+        Etx2 = p2 @ Em
+        num = jnp.sum(p2 * Ex1, -1)
+        den = (
+            Ex1[..., 0] ** 2 + Ex1[..., 1] ** 2
+            + Etx2[..., 0] ** 2 + Etx2[..., 1] ** 2
+        )
+        return w * num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+    e = E.reshape(-1)
+    for _ in range(iters):
+        # Tukey-style IRLS at the inlier threshold: borderline "inliers"
+        # (gross outliers that sneak under thr) get ~zero influence —
+        # 2 contaminated points out of 140 otherwise cost degrees of
+        # translation direction in an unweighted LS fit
+        r_cur = residuals(e)
+        rw = jnp.clip(1.0 - (r_cur * r_cur) / jnp.maximum(thr2, 1e-12), 0.0, 1.0)
+        rw = rw * rw
+
+        def wres(ev, rw=rw):
+            return residuals(ev) * rw
+
+        r = wres(e)
+        J = jax.jacfwd(wres)(e)  # [N, 9]
+        H = J.T @ J + 1e-8 * jnp.eye(9)
+        g = J.T @ r
+        e_new = e - jnp.linalg.solve(H, g)
+        e_new = e_new / jnp.maximum(jnp.linalg.norm(e_new), 1e-12)
+        e = jnp.where(jnp.all(jnp.isfinite(e_new)), e_new, e)
+    return enforce_essential(e.reshape(3, 3))
+
+
 def find_essential_ransac(
     key: jax.Array,
     x1: jnp.ndarray,
     x2: jnp.ndarray,
     valid: jnp.ndarray | None = None,
     cfg: RansacConfig = RansacConfig(threshold=1e-3),
+    adaptive: bool = True,
 ) -> ransac_mod.RansacResult:
     """findEssentialMat analog (five-point.cpp:405) on *normalized* coords.
 
     cfg.threshold is the LINEAR Sampson distance bound in normalized units
     (pixel_threshold / focal — the same folding as five-point.cpp:441);
     it is squared internally to compare against the squared Sampson error.
+    adaptive=True uses the reference's early-exit iteration rule in
+    128-hypothesis chunks (ransac_adaptive); False scores the full fixed
+    batch.
     """
     n = x1.shape[0]
     if valid is None:
@@ -413,11 +466,16 @@ def find_essential_ransac(
     def error_fn(E):
         return sampson_error(E, x1, x2)
 
-    res = ransac_mod.ransac(key, n, valid, 8, model_fn, error_fn, cfg2)
+    driver = ransac_mod.ransac_adaptive if adaptive else ransac_mod.ransac
+    res = driver(key, n, valid, 8, model_fn, error_fn, cfg2)
 
-    # polish: refit on ALL inliers, twice (the reference's final
-    # all-inlier re-solve, ptsetreg.cpp:253 / solvepnp.cpp:312-314 —
-    # essential to average away feature-localization noise)
+    # polish: refit on ALL inliers (the reference's final all-inlier
+    # re-solve, ptsetreg.cpp:253 / solvepnp.cpp:312-314 — essential to
+    # average away feature-localization noise). The last rounds weight
+    # inliers by inverse Sampson residual (IRLS flavor) so the estimate
+    # converges to the same optimum whichever RANSAC sample seeded it —
+    # this is what makes the adaptive early-exit path match the
+    # exhaustive batch to well under a degree of pose.
     inliers = res.inliers
     E = res.model
     for _ in range(2):
@@ -428,6 +486,18 @@ def find_essential_ransac(
         better = ok_ref & (jnp.sum(new_inliers) >= jnp.sum(inliers))
         E = jnp.where(better, E_ref, E)
         inliers = jnp.where(better, new_inliers, inliers)
+    # geometric polish: robust Gauss-Newton on Sampson error. Accepted
+    # unless it collapses the support (NOT by raw inlier count — the
+    # robust fit legitimately sheds borderline outliers that an
+    # inlier-maximizing rule would cling to)
+    E_gn = _sampson_gn_refine(E, x1, x2, inliers.astype(x1.dtype), thr2=thr2)
+    err_gn = sampson_error(E_gn, x1, x2)
+    inl_gn = (err_gn < thr2) & valid
+    keep_gn = jnp.all(jnp.isfinite(E_gn)) & (
+        jnp.sum(inl_gn) >= jnp.maximum(8, (jnp.sum(inliers) * 4) // 5)
+    )
+    E = jnp.where(keep_gn, E_gn, E)
+    inliers = jnp.where(keep_gn, inl_gn, inliers)
     return ransac_mod.RansacResult(
         model=E, inliers=inliers, n_inliers=jnp.sum(inliers), ok=res.ok
     )

@@ -117,6 +117,7 @@ def solve_pnp_ransac(
     cfg: RansacConfig = RansacConfig(threshold=2e-3),
     refine_iters: int = 10,
     kernel: str = "p3p",
+    adaptive: bool = True,
 ) -> PnPResult:
     """solvePnPRansac analog (solvepnp.cpp:196; GPU shape
     cudalegacy/src/calib3d.cpp:211). Normalized image coords; threshold is
@@ -164,7 +165,8 @@ def solve_pnp_ransac(
         d = project_points(model[:3], model[3:], obj_pts) - img_pts
         return jnp.sum(d * d, axis=-1)
 
-    res = ransac_mod.ransac(key, n, valid, subset, model_fn, error_fn, cfg2)
+    driver = ransac_mod.ransac_adaptive if adaptive else ransac_mod.ransac
+    res = driver(key, n, valid, subset, model_fn, error_fn, cfg2)
     rvec, tvec = res.model[:3], res.model[3:]
     w = res.inliers.astype(jnp.float32)
     rvec, tvec = gn_refine_pose(rvec, tvec, obj_pts, img_pts, w, refine_iters)
