@@ -207,3 +207,33 @@ def plot_birdseye(path: str, poses: np.ndarray,
     fig.tight_layout()
     fig.savefig(path, dpi=110)
     plt.close(fig)
+
+
+def flow_to_color(flow: np.ndarray, max_mag: float | None = None) -> np.ndarray:
+    """Dense-flow visualization: HSV color wheel (hue = direction,
+    saturation = magnitude) -> RGB u8 [H, W, 3]. The modern replacement
+    for cudalegacy's needle-map visualizer (NCVVisualize needle maps)."""
+    import colorsys
+
+    f = np.asarray(flow, np.float32)
+    u, v = f[..., 0], f[..., 1]
+    mag = np.sqrt(u * u + v * v)
+    if max_mag is None:
+        max_mag = max(float(np.percentile(mag, 99)), 1e-6)
+    ang = (np.arctan2(v, u) + np.pi) / (2 * np.pi)  # 0..1
+    sat = np.clip(mag / max_mag, 0, 1)
+    h6 = ang * 6.0
+    i = np.floor(h6).astype(int) % 6
+    fpart = h6 - np.floor(h6)
+    p = 1.0 - sat
+    q = 1.0 - sat * fpart
+    t = 1.0 - sat * (1.0 - fpart)
+    one = np.ones_like(sat)
+    lut = [
+        (one, t, p), (q, one, p), (p, one, t),
+        (p, q, one), (t, p, one), (one, p, q),
+    ]
+    r = np.choose(i, [c[0] for c in lut])
+    g = np.choose(i, [c[1] for c in lut])
+    b = np.choose(i, [c[2] for c in lut])
+    return (np.stack([r, g, b], -1) * 255).astype(np.uint8)
