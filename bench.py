@@ -261,7 +261,29 @@ def bench_config3(img0_np, img1_np):
         return lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     dt = device_time_per_trip(run, 20)
-    return 1.0 / dt
+
+    # TPU-native operating point: two-view problems BATCHED over pairs
+    # (a mapping/SfM pipeline solves many pairs at once; vmap amortizes
+    # the kernel-launch + small-matrix latency the single-pair path pays)
+    batch = 8
+    p0b = jnp.tile(p0[None], (batch, 1, 1)) * (
+        1.0 + 1e-4 * jnp.arange(batch)[:, None, None]
+    )
+    p1b = jnp.tile(p1[None], (batch, 1, 1))
+    mvb = jnp.tile(mvj[None], (batch, 1))
+
+    v_two_view = jax.vmap(two_view)
+
+    @jax.jit
+    def run_batched(n):
+        def body(i, carry):
+            t, _ = v_two_view(p0b * (1.0 + carry * 1e-30), p1b, mvb)
+            return jnp.sum(t) * 1e-12
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    dt_b = device_time_per_trip(run_batched, 10)
+    return 1.0 / dt, batch / dt_b
 
 
 # ---------------------------------------------------------------- config 4
@@ -399,13 +421,23 @@ def main():
             }
         )
 
-    pps3 = bench_config3(img0, img1)
+    pps3, pps3_batched = bench_config3(img0, img1)
     results.append(
         {
             "metric": "config3_two_view_odometry_pairs_per_s",
             "value": round(pps3, 2),
             "unit": "pairs/s/chip",
             "vs_baseline": round(pps3 / baselines["config3"], 3),
+            "baseline": round(baselines["config3"], 2),
+            "baseline_kind": "measured_cv2" if measured else "standin",
+        }
+    )
+    results.append(
+        {
+            "metric": "config3b_two_view_odometry_batched8_pairs_per_s",
+            "value": round(pps3_batched, 2),
+            "unit": "pairs/s/chip (vmap x8)",
+            "vs_baseline": round(pps3_batched / baselines["config3"], 3),
             "baseline": round(baselines["config3"], 2),
             "baseline_kind": "measured_cv2" if measured else "standin",
         }

@@ -345,3 +345,75 @@ def find_chessboard_corners(
     if refine:
         grid = np.asarray(corner_subpix(img_j, jnp.asarray(grid)))
     return grid
+
+
+# --------------------------------------------------- circles grid ---
+
+def find_circles_grid(
+    img: jnp.ndarray,
+    pattern_size: tuple[int, int],
+    dark_circles: bool = True,
+    max_blobs: int = 128,
+) -> tuple[np.ndarray, bool]:
+    """Symmetric circles-grid detection (cv::findCirclesGrid analog,
+    calib3d/src/circlesgrid.cpp): blob detection + lattice ordering.
+
+    pattern_size = (cols, rows) of circle centers. Returns (centers
+    [rows*cols, 2] row-major like the reference, ok).
+
+    TPU-native split: blob centroids come from the batched
+    SimpleBlobDetector (ops/ccomp.py); the combinatorial lattice
+    ordering — the reference's graph/clustering code — reduces to tiny
+    host numpy: estimate the grid axes from the two dominant
+    nearest-neighbour directions, express every center in that basis,
+    and round to integer lattice coordinates."""
+    import numpy as _np
+
+    from opencv_tpu.ops.ccomp import detect_blobs
+
+    cols, rows = pattern_size
+    want = cols * rows
+    blobs = detect_blobs(
+        img, threshold=float(jnp.median(img)), dark_blobs=dark_circles,
+        min_area=6.0, max_area=float(img.shape[0] * img.shape[1]) / want,
+        max_blobs=max_blobs,
+    )
+    xy = _np.asarray(blobs.xy)[_np.asarray(blobs.valid)]
+    if len(xy) < want:
+        return _np.zeros((want, 2), _np.float32), False
+
+    # keep the `want` largest blobs (already sorted by area by top-k)
+    xy = xy[:want]
+    c = xy.mean(0)
+    d = xy - c
+    # dominant axis via PCA; secondary = perpendicular component
+    u, s, vt = _np.linalg.svd(d, full_matrices=False)
+    a1 = vt[0]  # long axis of the blob cloud
+    a2 = vt[1]
+    # grid coordinates: project, then infer step spacing from sorted gaps
+    p1 = d @ a1
+    p2 = d @ a2
+
+    def lattice(p, n):
+        order = _np.sort(p)
+        span = order[-1] - order[0]
+        step = span / max(n - 1, 1)
+        return _np.round((p - order[0]) / max(step, 1e-9)).astype(int)
+
+    # the long axis corresponds to max(cols, rows)
+    n1, n2 = (cols, rows) if cols >= rows else (rows, cols)
+    i1 = lattice(p1, n1)
+    i2 = lattice(p2, n2)
+    ok = (
+        (i1 >= 0).all() and (i1 < n1).all()
+        and (i2 >= 0).all() and (i2 < n2).all()
+    )
+    grid = _np.full((n2, n1, 2), _np.nan, _np.float32)
+    for k in range(want):
+        grid[i2[k], i1[k]] = xy[k]
+    ok = ok and not _np.isnan(grid).any()
+    if not ok:
+        return _np.zeros((want, 2), _np.float32), False
+    if cols < rows:  # transpose back to (rows, cols) row-major
+        grid = grid.transpose(1, 0, 2)
+    return grid.reshape(-1, 2), True

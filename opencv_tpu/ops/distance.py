@@ -95,3 +95,72 @@ def mean_shift_filter(
         return num / jnp.maximum(den, 1.0)
 
     return lax.fori_loop(0, iters, body, img)
+
+
+def mean_shift_segmentation(
+    img: jnp.ndarray,
+    spatial_radius: int = 5,
+    range_radius: float = 20.0,
+    min_size: int = 20,
+    iters: int = 5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Mean-shift segmentation (cuda::meanShiftSegmentation analog,
+    cudaimgproc/src/mssegmentation.cpp): filter to modes, then merge
+    pixels whose filtered values are within range_radius of their
+    4-neighbours into labeled regions; regions below min_size dissolve
+    into the dominant neighbour label by one majority-filter pass.
+
+    Returns (labels i32 [H, W] — 1-based region ids, segmented image
+    f32 [H, W] — per-region mean of the filtered values)."""
+    f = mean_shift_filter(img, spatial_radius, range_radius, iters)
+    h, w = f.shape
+    # similarity graph -> connected components over "same mode" pixels:
+    # quantize filtered values to range_radius bins and label
+    q = jnp.round(f / jnp.maximum(range_radius, 1e-6)).astype(jnp.int32)
+    # components of constant quantized value: label the boolean mask per
+    # unique value is dynamic — instead label the full image where
+    # neighbours must share the quantized value: encode by offsetting
+    # each pixel's component seed and propagating mins only across
+    # equal-value edges
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) * w
+        + jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+        + 1
+    )
+    big = jnp.int32(h * w + 2)
+    labels = idx
+
+    def sweep(labels):
+        best = labels
+        for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+            nb = imgproc.shift2d(labels, dy, dx, fill=big)
+            same = imgproc.shift2d(q, dy, dx, fill=jnp.int32(-(2**30))) == q
+            best = jnp.minimum(best, jnp.where(same, nb, big))
+        return best
+
+    def cond(c):
+        return c[1]
+
+    def body(c):
+        lab, _ = c
+        new = sweep(lab)
+        return new, jnp.any(new != lab)
+
+    labels, _ = jax.lax.while_loop(cond, body, (labels, jnp.bool_(True)))
+
+    # region means + small-region absorption
+    flat = labels.reshape(-1)
+    n = h * w + 2
+    cnt = jnp.zeros((n,), jnp.float32).at[flat].add(1.0)
+    ssum = jnp.zeros((n,), jnp.float32).at[flat].add(f.reshape(-1))
+    mean = ssum / jnp.maximum(cnt, 1.0)
+    seg = mean[flat].reshape(h, w)
+    small = (cnt[flat] < min_size).reshape(h, w)
+    # dissolve small regions: take any large 4-neighbour's label
+    for dy, dx in ((-1, 0), (1, 0), (0, -1), (0, 1)):
+        nb_lab = imgproc.shift2d(labels, dy, dx, fill=0)
+        nb_small = imgproc.shift2d(small, dy, dx, fill=True)
+        labels = jnp.where(small & ~nb_small & (nb_lab > 0), nb_lab, labels)
+        small = (cnt[labels.reshape(-1)] < min_size).reshape(h, w)
+    seg = mean[labels.reshape(-1)].reshape(h, w)
+    return labels, seg
