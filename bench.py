@@ -167,28 +167,30 @@ def bench_config2(frames_np):
     def clip_pass(frames):
         # each frame's pyramid + Scharr derivatives are built ONCE (the
         # reference's buildOpticalFlowPyramid reuse, lkpyramid.cpp:697),
-        # vectorized over the whole clip
+        # vectorized over the whole clip; the scan STREAMS each frame's
+        # pyramid in as xs and carries the previous frame's — no dynamic
+        # slicing of the [F, ...] stacks inside the loop (24 frame-sized
+        # gather copies per step otherwise)
         pyrs = jax.vmap(lambda f: lk.build_flow_pyramid(f, lk_cfg))(frames)
-
-        def at(i):
-            return tuple((lvl[0][i], lvl[1][i], lvl[2][i]) for lvl in pyrs)
+        xs = jax.tree.map(lambda a: a[1:], pyrs)
+        pyr0 = jax.tree.map(lambda a: a[0], pyrs)
 
         pts0, valid0 = detect(frames[0])
 
-        def step(carry, i):
-            pts, valid = carry
+        def step(carry, cur_pyr):
+            pts, valid, prev_pyr = carry
             new_pts, status, _ = lk.calc_optical_flow_pyr_lk_pyr(
-                at(i - 1), at(i), pts, valid, lk_cfg
+                prev_pyr, cur_pyr, pts, valid, lk_cfg
             )
             count = jnp.sum(status)
             pts, valid = lax.cond(
-                count < 500, lambda: detect(frames[i]), lambda: (new_pts, status)
+                count < 500,
+                lambda: detect(cur_pyr[0][0]),
+                lambda: (new_pts, status),
             )
-            return (pts, valid), count
+            return (pts, valid, cur_pyr), count
 
-        (pts, valid), counts = lax.scan(
-            step, (pts0, valid0), jnp.arange(1, n_frames)
-        )
+        (pts, valid, _), counts = lax.scan(step, (pts0, valid0, pyr0), xs)
         return jnp.sum(pts) + jnp.sum(counts)
 
     @jax.jit

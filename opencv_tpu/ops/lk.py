@@ -34,6 +34,7 @@ from jax import lax
 from opencv_tpu.core import imgproc
 from opencv_tpu.core.config import LKConfig
 from opencv_tpu.core.pyramid import build_lk_pyramid
+from opencv_tpu.core.types import masked_top_k
 
 # Precision strategy (measured on v5e): the Newton iterations sample the
 # J window in single-pass bf16 (DEFAULT) — 3x fewer MXU passes, noise
@@ -84,6 +85,7 @@ def _track_level(
     base_pts: jnp.ndarray,  # [N,2] point positions in prev at this level
     guess_pts: jnp.ndarray,  # [N,2] current estimates in next at this level
     cfg: LKConfig,
+    iter_precision=_PS_ITER,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One pyramid level of LK. Returns (new_guess, min_eig, residual)."""
     win = cfg.win_size
@@ -118,7 +120,7 @@ def _track_level(
 
     def body(carry):
         guess, converged = carry
-        delta = newton_step(guess, _PS_ITER)
+        delta = newton_step(guess, iter_precision)
         do_update = (ok & ~converged)[:, None]
         new_guess = jnp.where(do_update, guess + delta, guess)
         step = jnp.sum(delta * delta, axis=-1)
@@ -127,7 +129,6 @@ def _track_level(
 
     # whole-batch early exit: per-point exits are masked updates; once
     # every live point has converged the rest of the budget is waste
-    # (typical real-video steps converge in <10 of the 30 iterations)
     def loop_cond(state):
         i, (_, converged) = state
         return (i < cfg.max_iters) & ~jnp.all(converged | ~ok)
@@ -137,9 +138,53 @@ def _track_level(
         return i + 1, body(carry)
 
     converged0 = jnp.zeros((n,), bool)
-    _, (guess, _) = lax.while_loop(
-        loop_cond, loop_body, (jnp.int32(0), (guess_pts, converged0))
+    phase1 = min(10, cfg.max_iters)
+
+    def loop_cond1(state):
+        i, (_, converged) = state
+        return (i < phase1) & ~jnp.all(converged | ~ok)
+
+    _, (guess, converged) = lax.while_loop(
+        loop_cond1, loop_body, (jnp.int32(0), (guess_pts, converged0))
     )
+
+    # STRAGGLER COMPACTION: on real video most points converge within
+    # ~10 iterations, but a handful (occlusion, low texture) run the
+    # full budget — and cv2's per-point exit pays only for those, while
+    # masked whole-batch iteration pays N points x 30 trips. Compact the
+    # unconverged survivors to a fixed N/4 capacity, finish ONLY those,
+    # scatter back. Cost ~ 10N + 20(N/4) instead of 30N.
+    cap = min(n, max(n // 4, 32))
+    live = ok & ~converged
+    sel, keep = masked_top_k(live.astype(jnp.float32), live, cap)
+
+    def body_sub(carry):
+        g_sub, conv_sub = carry
+        jw = _sample_at(next_img, g_sub, win, iter_precision)
+        diff = iw[sel] - jw
+        bx = jnp.sum(diff * ix[sel], axis=(1, 2))
+        by = jnp.sum(diff * iy[sel], axis=(1, 2))
+        d_x = (gyy[sel] * bx - gxy[sel] * by) / safe_det[sel]
+        d_y = (gxx[sel] * by - gxy[sel] * bx) / safe_det[sel]
+        delta = jnp.stack([d_x, d_y], axis=-1)
+        do_update = (keep & ~conv_sub)[:, None]
+        g_new = jnp.where(do_update, g_sub + delta, g_sub)
+        step = jnp.sum(delta * delta, axis=-1)
+        return g_new, conv_sub | (step <= cfg.eps * cfg.eps)
+
+    def cond_sub(state):
+        i, (_, conv_sub) = state
+        return (i < cfg.max_iters - phase1) & ~jnp.all(conv_sub | ~keep)
+
+    g_sub0 = guess[sel]
+    conv_sub0 = ~live[sel] | ~keep
+    _, (g_sub, _) = lax.while_loop(
+        cond_sub,
+        lambda s: (s[0] + 1, body_sub(s[1])),
+        (jnp.int32(0), (g_sub0, conv_sub0)),
+    )
+    # points beyond the straggler capacity keep their phase-1 estimate
+    guess = guess.at[sel].set(jnp.where(keep[:, None], g_sub, guess[sel]))
 
     # one high-precision polish step corrects the bf16 iteration bias
     guess = jnp.where(ok[:, None], guess + newton_step(guess, _PS), guess)
