@@ -127,3 +127,59 @@ def stabilize(frames: list[np.ndarray], radius: int = 5, seed: int = 0) -> list[
             )
         )
     return out
+
+
+def deblur_weiner_gaussian(
+    frame: jnp.ndarray, motion_px: float, angle: float = 0.0, snr: float = 40.0
+) -> jnp.ndarray:
+    """Motion deblurring for stabilized frames (videostab
+    deblurring.cpp WeightingDeblurer capability slot): Wiener
+    deconvolution with a linear motion PSF in the frequency domain —
+    jnp.fft runs on the MXU; one forward + one inverse FFT per frame."""
+    h, w = frame.shape
+    frame = frame.astype(jnp.float32)
+    # linear-motion PSF of length motion_px at `angle`
+    L = max(int(round(motion_px)), 1)
+    psf = np.zeros((h, w), np.float32)
+    c, s = np.cos(angle), np.sin(angle)
+    for i in range(L):
+        t = i - (L - 1) / 2.0  # symmetric taps about the origin
+        y = int(round(t * s)) % h
+        x = int(round(t * c)) % w
+        psf[y, x] += 1.0
+    psf /= psf.sum()
+    H = jnp.fft.rfft2(jnp.asarray(psf))
+    F = jnp.fft.rfft2(frame)
+    wiener = jnp.conj(H) / (jnp.abs(H) ** 2 + 1.0 / snr)
+    out = jnp.fft.irfft2(F * wiener, s=(h, w))
+    return jnp.clip(out, 0.0, 255.0)
+
+
+def inpaint_borders(
+    frames: list[np.ndarray], masks: list[np.ndarray]
+) -> list[np.ndarray]:
+    """Fill the empty borders warps leave behind using neighbouring
+    frames (videostab inpainting.cpp ConsistentMosaicInpainter slot):
+    each invalid pixel takes the median of the valid values the
+    temporal neighbours provide."""
+    out = []
+    n = len(frames)
+    for i, (f, m) in enumerate(zip(frames, masks)):
+        f = np.asarray(f, np.float32).copy()
+        m = np.asarray(m, bool)
+        hole = ~m
+        if hole.any():
+            cand = []
+            for j in range(max(0, i - 2), min(n, i + 3)):
+                if j == i:
+                    continue
+                fj = np.asarray(frames[j], np.float32)
+                mj = np.asarray(masks[j], bool)
+                cand.append(np.where(mj, fj, np.nan))
+            if cand:
+                stack = np.stack(cand)
+                med = np.nanmedian(stack, axis=0)
+                fill = np.where(np.isnan(med), f, med)
+                f[hole] = fill[hole]
+        out.append(f)
+    return out
