@@ -259,3 +259,34 @@ def kernel_svm_decision(model: KernelSVM, x: jnp.ndarray) -> jnp.ndarray:
     K = _kernel(model.kind, x, model.sv_x, model.gamma, model.degree,
                 model.coef0) + 1.0
     return K @ model.alpha
+
+
+# -------------------------------------------------------- naive Bayes ---
+
+class GaussianNB(NamedTuple):
+    mean: jnp.ndarray   # [C, F]
+    var: jnp.ndarray    # [C, F]
+    log_prior: jnp.ndarray  # [C]
+
+
+def train_naive_bayes(x: jnp.ndarray, y: jnp.ndarray,
+                      n_classes: int = 2) -> GaussianNB:
+    """Gaussian naive Bayes (NormalBayesClassifier analog,
+    ml/src/nbayes.cpp): per-class feature means/variances by one-hot
+    segment sums."""
+    onehot = jax.nn.one_hot(y, n_classes)  # [N, C]
+    cnt = jnp.maximum(jnp.sum(onehot, 0), 1.0)  # [C]
+    mean = (onehot.T @ x) / cnt[:, None]
+    ex2 = (onehot.T @ (x * x)) / cnt[:, None]
+    var = jnp.maximum(ex2 - mean * mean, 1e-6)
+    return GaussianNB(mean=mean, var=var,
+                      log_prior=jnp.log(cnt / jnp.sum(cnt)))
+
+
+def naive_bayes_predict_log_proba(model: GaussianNB, x: jnp.ndarray) -> jnp.ndarray:
+    d = x[:, None, :] - model.mean[None]  # [N, C, F]
+    ll = -0.5 * jnp.sum(
+        d * d / model.var[None] + jnp.log(2 * jnp.pi * model.var)[None], -1
+    )
+    logp = ll + model.log_prior[None]
+    return logp - jax.nn.logsumexp(logp, axis=1, keepdims=True)

@@ -260,3 +260,72 @@ def adaboost_decision(model: Boosted, x: jnp.ndarray) -> jnp.ndarray:
 
     h = jax.vmap(stage)(model.trees)  # [T, N]
     return jnp.einsum("t,tn->n", model.alpha, h)
+
+
+class GBT(NamedTuple):
+    """Gradient-boosted trees for binary classification (the reference's
+    GBT module, ml gradient boosting): shallow REGRESSION trees fit to
+    logistic-loss gradients, shrunk by a learning rate."""
+    trees: Tree      # stacked
+    f0: jnp.ndarray  # initial log-odds
+    lr: float
+    depth: int
+
+
+def _fit_regression_tree(x, r, depth, n_bins, thresholds):
+    """Regression tree on residuals via the classification machinery:
+    residuals are encoded as sample weights on a 2-class target
+    (sign(r) with |r| weights); leaf value = weighted mean residual.
+    Simpler: fit variance-reducing splits with (sum, count) statistics."""
+    # reuse fit_tree with 2 pseudo-classes carrying (positive mass,
+    # negative mass); leaf prediction = (pos - neg) / (pos + neg + eps)
+    y = (r > 0).astype(jnp.int32)
+    w = jnp.abs(r) + 1e-8
+    t = fit_tree(x, y, w, depth=depth, n_bins=n_bins, n_classes=2,
+                 thresholds=thresholds)
+    return t
+
+
+def _tree_value(tree: Tree, x, depth):
+    """Signed leaf value from the 2-class mass encoding."""
+    xb = bin_features(x, tree.thresholds)
+    n = x.shape[0]
+    node = jnp.zeros((n,), jnp.int32)
+    for _ in range(depth):
+        go_right = xb[jnp.arange(n), tree.feature[node]] > tree.bin[node]
+        child = 2 * node + 1 + go_right.astype(jnp.int32)
+        node = jnp.where(tree.is_leaf[node], node, child)
+    v = tree.value[node]  # [N, 2] = (neg mass, pos mass)
+    tot = jnp.maximum(v[:, 0] + v[:, 1], 1e-8)
+    return (v[:, 1] - v[:, 0]) / tot  # mean residual sign-weighted
+
+
+def fit_gbt(
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    n_rounds: int = 40,
+    depth: int = 3,
+    lr: float = 0.3,
+    n_bins: int = 16,
+) -> GBT:
+    """Binary logistic gradient boosting. y in {0, 1}."""
+    thresholds = quantile_bins(x, n_bins)
+    yf = y.astype(jnp.float32)
+    p0 = jnp.clip(jnp.mean(yf), 1e-3, 1 - 1e-3)
+    f = jnp.full(yf.shape, jnp.log(p0 / (1 - p0)))
+    f0 = f[0]
+    trees = []
+    for _ in range(n_rounds):
+        p = jax.nn.sigmoid(f)
+        r = yf - p  # negative gradient of logistic loss
+        t = _fit_regression_tree(x, r, depth, n_bins, thresholds)
+        trees.append(t)
+        f = f + lr * _tree_value(t, x, depth)
+    stacked = jax.tree_util.tree_map(lambda *ts: jnp.stack(ts), *trees)
+    return GBT(trees=stacked, f0=f0, lr=lr, depth=depth)
+
+
+def gbt_decision(model: GBT, x: jnp.ndarray) -> jnp.ndarray:
+    """Log-odds [N] (positive -> class 1)."""
+    vals = jax.vmap(lambda t: _tree_value(t, x, model.depth))(model.trees)
+    return model.f0 + model.lr * jnp.sum(vals, axis=0)

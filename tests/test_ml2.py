@@ -80,3 +80,20 @@ def test_kernel_svm_two_moons(rng):
                                       kind="linear", iters=300)
     dl = classifiers.kernel_svm_decision(ml, jnp.asarray(xb))
     assert _accuracy(np.asarray(dl) > 0, yb) > 0.97
+
+
+def test_naive_bayes_blobs(rng):
+    x = np.concatenate([
+        rng.normal([-2, 0], 0.6, (80, 2)), rng.normal([2, 1], 0.6, (80, 2))
+    ]).astype(np.float32)
+    y = np.concatenate([np.zeros(80), np.ones(80)]).astype(np.int32)
+    m = classifiers.train_naive_bayes(jnp.asarray(x), jnp.asarray(y))
+    lp = classifiers.naive_bayes_predict_log_proba(m, jnp.asarray(x))
+    assert _accuracy(np.argmax(np.asarray(lp), 1), y) > 0.97
+
+
+def test_gbt_two_moons(rng):
+    x, y = _two_moons(rng)
+    m = trees.fit_gbt(jnp.asarray(x), jnp.asarray(y), n_rounds=40, depth=3)
+    d = trees.gbt_decision(m, jnp.asarray(x))
+    assert _accuracy(np.asarray(d) > 0, y) > 0.93
