@@ -183,3 +183,33 @@ def inpaint_borders(
                 f[hole] = fill[hole]
         out.append(f)
     return out
+
+
+def suppress_wobble(
+    motions: np.ndarray, period: int = 2, strength: float = 1.0
+) -> np.ndarray:
+    """Wobble suppression (videostab wobble_suppression.cpp
+    MoreAccurateMotionWobbleSuppressor slot): remove the near-periodic
+    high-frequency component rolling-shutter capture leaves in the
+    inter-frame motion parameters.
+
+    motions: [T, 2, 3] per-frame affine params. The periodic wobble at
+    `period` frames is isolated in the frequency domain (one rfft over
+    time per parameter — MXU work) and subtracted, scaled by `strength`.
+    Returns the corrected [T, 2, 3] sequence."""
+    m = jnp.asarray(motions, jnp.float32).reshape(len(motions), -1)  # [T, 6]
+    T = m.shape[0]
+    # detrend before the FFT: a non-periodic ramp leaks into every bin
+    # (Gibbs) and the notch would distort the legitimate slow motion
+    t = jnp.arange(T, dtype=jnp.float32)
+    tc = t - t.mean()
+    slope = (tc @ m) / jnp.maximum(tc @ tc, 1e-9)  # [6]
+    trend = m.mean(0)[None] + tc[:, None] * slope[None]
+    m = m - trend
+    F = jnp.fft.rfft(m, axis=0)
+    freqs = jnp.fft.rfftfreq(T)  # cycles/frame
+    target = 1.0 / (2.0 * period)
+    # notch around the wobble frequency band [target, nyquist]
+    notch = jnp.where(freqs[:, None] >= target, 1.0 - strength, 1.0)
+    out = jnp.fft.irfft(F * notch, n=T, axis=0) + trend
+    return np.asarray(out).reshape(len(motions), 2, 3)

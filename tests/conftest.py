@@ -61,3 +61,13 @@ def _clear_jax_caches_per_module():
     slows far past the sum of per-file runtimes."""
     yield
     jax.clear_caches()
+
+
+# Persistent compilation cache: the suite jits hundreds of programs and
+# XLA:CPU compilation dominates wall time; a warm cache cuts repeat runs
+# (including CI/driver re-runs on the same host) drastically.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/opencv_tpu_jax_cpu"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

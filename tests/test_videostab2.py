@@ -36,3 +36,18 @@ def test_inpaint_borders_from_neighbours(rng):
     np.testing.assert_allclose(out[1][:, :12], img[:, :12], atol=1e-4)
     # untouched pixels stay identical
     np.testing.assert_allclose(out[1][:, 12:], img[:, 12:], atol=1e-4)
+
+
+def test_suppress_wobble_removes_alternating_jitter(rng):
+    t = np.arange(40)
+    smooth = np.stack([0.5 * np.sin(t / 15.0), 0.02 * t], 1)  # slow drift
+    wobble = 0.3 * (-1.0) ** t  # period-2 rolling-shutter style jitter
+    motions = np.zeros((40, 2, 3), np.float32)
+    motions[:, 0, 2] = smooth[:, 0] + wobble
+    motions[:, 1, 2] = smooth[:, 1]
+    out = videostab.suppress_wobble(motions, period=2)
+    # the alternating component shrinks by >10x; the slow drift survives
+    resid = out[:, 0, 2] - smooth[:, 0]
+    assert np.abs(resid[5:-5]).max() < 0.05
+    keep = out[:, 1, 2]
+    np.testing.assert_allclose(keep[5:-5], smooth[5:-5, 1], atol=0.02)
