@@ -63,11 +63,8 @@ def _clear_jax_caches_per_module():
     jax.clear_caches()
 
 
-# Persistent compilation cache: the suite jits hundreds of programs and
-# XLA:CPU compilation dominates wall time; a warm cache cuts repeat runs
-# (including CI/driver re-runs on the same host) drastically.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.expanduser("~/.cache/opencv_tpu_jax_cpu"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# NOTE: do NOT enable jax_compilation_cache_dir here. On this jaxlib the
+# XLA:CPU persistent-cache READ path aborts the process
+# ("Fatal Python error: Aborted" in compilation_cache.get_executable_and_time)
+# once entries written earlier in the run are re-read — it killed two
+# full-suite runs ~35 min in before the cause was isolated.
