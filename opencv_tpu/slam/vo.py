@@ -194,9 +194,14 @@ class VisualOdometry:
         x1full = jnp.asarray(xy1)
         xq = x0[jnp.asarray(qi)]
         xt = x1full[jnp.asarray(ti)]
+        # adaptive=False: the engine keeps the fixed-batch RANSAC program
+        # — the adaptive while_loop variant intermittently segfaults
+        # XLA:CPU *compilation* when many engine programs build in one
+        # process (tests/CI); direct API callers and bench.py use the
+        # adaptive path, which is stable in isolation
         res = epipolar.find_essential_ransac(
             self._next_key(), xq, xt,
-            valid=jnp.asarray(mv),
+            valid=jnp.asarray(mv), adaptive=False,
             cfg=RansacConfig(
                 n_hypotheses=self.cfg.n_hypotheses,
                 threshold=self._e_thr,
@@ -355,7 +360,7 @@ class VisualOdometry:
         img_pts = jnp.asarray(self._normalize(new_px))
         res = pnp.solve_pnp_ransac(
             self._next_key(), obj, img_pts,
-            valid=jnp.asarray(status),
+            valid=jnp.asarray(status), adaptive=False,
             cfg=RansacConfig(
                 n_hypotheses=self.cfg.n_hypotheses, threshold=self._pnp_thr
             ),
@@ -378,7 +383,7 @@ class VisualOdometry:
         img_pts = jnp.asarray(xy)
         res = pnp.solve_pnp_ransac(
             self._next_key(), obj, img_pts,
-            valid=jnp.asarray(mv),
+            valid=jnp.asarray(mv), adaptive=False,
             cfg=RansacConfig(
                 n_hypotheses=self.cfg.n_hypotheses,
                 threshold=self._pnp_thr,
