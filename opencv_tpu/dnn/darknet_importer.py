@@ -1,0 +1,242 @@
+"""Darknet importer -> dnn.Net (YOLO-family .cfg + .weights).
+
+Analog of the reference's darknet importer (modules/dnn/src/darknet/):
+the .cfg is an INI-style layer list; .weights is a raw float32 stream
+(header: 3x int32 version + seen counter [int64 when major*10+minor>=2],
+then per-layer params in file order — for convolutional with
+batch_normalize: biases, bn scales, rolling means, rolling variances,
+then kernels OIHW; plain convolutional: biases then kernels; connected:
+biases then weights).
+
+Supported sections: net, convolutional (leaky/linear activation,
+batch_normalize, pad/stride), maxpool, avgpool, upsample, route,
+shortcut, connected, softmax — the classification + YOLO-backbone set.
+NCHW layout like the source framework."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from opencv_tpu.dnn import layers
+from opencv_tpu.dnn.net import Net
+
+
+def parse_cfg(text: str) -> list[dict]:
+    """[{'type': ..., key: value, ...}, ...] in file order."""
+    sections: list[dict] = []
+    cur: dict | None = None
+    for raw in text.splitlines():
+        line = raw.split("#")[0].strip()
+        if not line:
+            continue
+        if line.startswith("["):
+            cur = {"type": line.strip("[]").strip()}
+            sections.append(cur)
+        elif "=" in line and cur is not None:
+            k, v = line.split("=", 1)
+            cur[k.strip()] = v.strip()
+    return sections
+
+
+class _WeightReader:
+    def __init__(self, buf: bytes):
+        major, minor, _rev = struct.unpack("<3i", buf[:12])
+        off = 12
+        off += 8 if major * 10 + minor >= 2 else 4  # seen counter
+        self.data = np.frombuffer(buf[off:], np.float32)
+        self.pos = 0
+
+    def take(self, n: int) -> np.ndarray:
+        out = self.data[self.pos:self.pos + n]
+        if out.size != n:
+            raise ValueError("weights file exhausted")
+        self.pos += n
+        return np.asarray(out)
+
+
+def _act(name: str):
+    if name in ("linear", "", None):
+        return None
+    if name == "leaky":
+        return lambda x: jnp.where(x > 0, x, 0.1 * x)
+    if name == "relu":
+        return layers.relu
+    if name == "logistic":
+        return layers.sigmoid
+    if name == "mish":
+        return lambda x: x * jnp.tanh(jax.nn.softplus(x))
+    raise NotImplementedError(f"darknet activation {name!r}")
+
+
+def load_darknet(cfg_text: str, weights=None, in_channels: int | None = None) -> Net:
+    """Build a Net from cfg text (+ optional .weights bytes/path)
+    (readNetFromDarknet analog). Input layer name: 'data' (NCHW)."""
+    if isinstance(weights, str):
+        with open(weights, "rb") as f:
+            weights = f.read()
+    reader = _WeightReader(weights) if weights is not None else None
+
+    sections = parse_cfg(cfg_text)
+    assert sections and sections[0]["type"] in ("net", "network")
+    net_cfg = sections[0]
+    channels = in_channels or int(net_cfg.get("channels", 3))
+
+    net = Net()
+    net._input_names = ["data"]
+    names: list[str] = ["data"]  # output name of each darknet layer index-1
+    chans: list[int] = [channels]
+
+    def prev(i_rel: int) -> str:
+        # darknet route indices: negative = relative, >=0 = absolute layer
+        return names[i_rel + 1] if i_rel >= 0 else names[i_rel]
+
+    for li, sec in enumerate(sections[1:]):
+        t = sec["type"]
+        name = f"l{li}_{t}"
+        if t == "convolutional":
+            n = int(sec["filters"])
+            size = int(sec.get("size", 1))
+            stride = int(sec.get("stride", 1))
+            pad = (size // 2) if int(sec.get("pad", 0)) else int(sec.get("padding", 0))
+            bn = int(sec.get("batch_normalize", 0))
+            c_in = chans[-1]
+            if reader is not None:
+                bias = reader.take(n)
+                if bn:
+                    scale = reader.take(n)
+                    mean = reader.take(n)
+                    var = reader.take(n)
+                kern = reader.take(n * c_in * size * size).reshape(
+                    n, c_in, size, size
+                )
+            else:
+                bias = np.zeros(n, np.float32)
+                scale = np.ones(n, np.float32)
+                mean = np.zeros(n, np.float32)
+                var = np.ones(n, np.float32)
+                kern = np.zeros((n, c_in, size, size), np.float32)
+            kern_j = jnp.asarray(kern)
+            bias_j = jnp.asarray(bias)
+            act = _act(sec.get("activation", "linear"))
+            if bn:
+                s_j = jnp.asarray(scale)
+                m_j = jnp.asarray(mean)
+                v_j = jnp.asarray(var)
+
+                def fn(x, kern_j=kern_j, bias_j=bias_j, s_j=s_j, m_j=m_j,
+                       v_j=v_j, stride=stride, pad=pad, act=act):
+                    out = layers.convolution(
+                        x, kern_j, None, stride=stride,
+                        pad=[(pad, pad), (pad, pad)],
+                    )
+                    out = layers.batch_norm(out, m_j, v_j, s_j, bias_j,
+                                            eps=1e-5)
+                    return act(out) if act else out
+            else:
+                def fn(x, kern_j=kern_j, bias_j=bias_j, stride=stride,
+                       pad=pad, act=act):
+                    out = layers.convolution(
+                        x, kern_j, bias_j, stride=stride,
+                        pad=[(pad, pad), (pad, pad)],
+                    )
+                    return act(out) if act else out
+
+            net.add_layer(name, fn, [names[-1]])
+            chans.append(n)
+        elif t == "maxpool":
+            size = int(sec.get("size", 2))
+            stride = int(sec.get("stride", size))
+            net.add_layer(
+                name,
+                (lambda size=size, stride=stride:
+                 lambda x: layers.max_pool(x, size, stride))(),
+                [names[-1]],
+            )
+            chans.append(chans[-1])
+        elif t == "avgpool":
+            net.add_layer(
+                name, lambda x: jnp.mean(x, axis=(2, 3)), [names[-1]]
+            )
+            chans.append(chans[-1])
+        elif t == "upsample":
+            stride = int(sec.get("stride", 2))
+            net.add_layer(
+                name,
+                (lambda s=stride: lambda x: jnp.repeat(
+                    jnp.repeat(x, s, axis=2), s, axis=3
+                ))(),
+                [names[-1]],
+            )
+            chans.append(chans[-1])
+        elif t == "route":
+            idxs = [int(v) for v in sec["layers"].split(",")]
+            srcs = [prev(i) for i in idxs]
+            if len(srcs) == 1:
+                net.add_layer(name, lambda x: x, srcs)
+                chans.append(chans[idxs[0] + 1] if idxs[0] >= 0 else chans[idxs[0]])
+            else:
+                net.add_layer(
+                    name, lambda *xs: jnp.concatenate(xs, axis=1), srcs
+                )
+                chans.append(sum(
+                    chans[i + 1] if i >= 0 else chans[i] for i in idxs
+                ))
+        elif t == "shortcut":
+            i = int(sec["from"])
+            act = _act(sec.get("activation", "linear"))
+            net.add_layer(
+                name,
+                (lambda act=act: (lambda a, b: act(a + b) if act else a + b))(),
+                [names[-1], prev(i)],
+            )
+            chans.append(chans[-1])
+        elif t == "connected":
+            n = int(sec["output"])
+            act = _act(sec.get("activation", "linear"))
+            c_in = None  # resolved from the weight count at load time
+            if reader is not None:
+                bias = reader.take(n)
+                # darknet stores connected weights as [out, in]
+                rest = reader.data.size - reader.pos
+                # infer in-dim lazily: cfg files after conv layers flatten
+                # N*C*H*W; we require the caller's network be consistent
+                # and read the remaining block for this layer
+                raise_if = False
+                # in darknet the cfg 'inputs' can appear; else infer later
+                if "inputs" in sec:
+                    c_in = int(sec["inputs"])
+                else:
+                    c_in = rest // n if li == len(sections) - 2 else None
+                if c_in is None:
+                    raise NotImplementedError(
+                        "connected layer needs 'inputs=' unless last"
+                    )
+                w = reader.take(n * c_in).reshape(n, c_in)
+            else:
+                c_in = int(sec.get("inputs", 1))
+                bias = np.zeros(n, np.float32)
+                w = np.zeros((n, c_in), np.float32)
+            wj = jnp.asarray(w)
+            bj = jnp.asarray(bias)
+            net.add_layer(
+                name,
+                (lambda wj=wj, bj=bj, act=act: lambda x: (
+                    act(layers.fully_connected(x, wj, bj))
+                    if act else layers.fully_connected(x, wj, bj)
+                ))(),
+                [names[-1]],
+            )
+            chans.append(n)
+        elif t == "softmax":
+            net.add_layer(name, lambda x: jax.nn.softmax(x, -1), [names[-1]])
+            chans.append(chans[-1])
+        else:
+            raise NotImplementedError(f"darknet section {t!r}")
+        names.append(name)
+    return net
