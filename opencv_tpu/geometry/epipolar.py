@@ -72,13 +72,84 @@ def _smallest_eigvec(gram: jnp.ndarray) -> jnp.ndarray:
 def _nullspace(A: jnp.ndarray) -> jnp.ndarray:
     """Right singular vector of the smallest singular value of [..., M, K].
 
-    Direct SVD of the design matrix, NOT eigh of A^T A: the Gram form
-    squares the condition number, which costs ~3 decimal digits in f32 —
-    measurably degrading two-view pose (the f32-on-TPU analog of the
-    reference doing this in f64, fundam.cpp run8Point).
+    Minimal samples (M < K, the RANSAC hypothesis shape) have an EXACT
+    nullspace: the trailing columns of a complete QR of A^T span it, and
+    batched Householder QR is ~20x faster than batched SVD on TPU
+    (measured 0.66ms vs 13.7ms at [1024,8,9]) with the same numerics —
+    no Gram squaring, no iteration. Overdetermined fits (the all-inlier
+    polish) keep the direct SVD: there the nullspace is a least-squares
+    direction, and SVD of the design (not eigh of A^T A, which squares
+    the condition number — ~3 f32 digits) is the stable route, matching
+    the reference's f64 run8Point (fundam.cpp:604).
     """
+    m, k = A.shape[-2], A.shape[-1]
+    if m < k:
+        q, _ = jnp.linalg.qr(jnp.swapaxes(A, -1, -2), mode="complete")
+        return q[..., :, k - 1]
     _, _, vt = jnp.linalg.svd(A, full_matrices=True)
     return vt[..., -1, :]
+
+
+def _svd3_top2(A: jnp.ndarray, sweeps: int = 6):
+    """Leading two singular triplets of [..., 3, 3] by one-sided (Hestenes)
+    Jacobi — a fixed-trip elementwise loop in place of jnp.linalg.svd's
+    multi-millisecond batched TPU path (4.5ms at [1024,3,3]; this is
+    ~50us). Returns (u0, u1, s0, s1, v0, v1) with s0 >= s1.
+
+    Only the top-2 triplets are produced because every caller builds a
+    rank-2 reconstruction (essential / fundamental projection zeroes the
+    third singular value), which sidesteps the rank-deficient-U column
+    problem entirely."""
+    B = A
+    V = jnp.broadcast_to(jnp.eye(3, dtype=A.dtype), A.shape)
+    cols = lambda M: (M[..., :, 0], M[..., :, 1], M[..., :, 2])
+    b = list(cols(B))
+    v = list(cols(V))
+    for _ in range(sweeps):
+        for p, q in ((0, 1), (0, 2), (1, 2)):
+            bp, bq = b[p], b[q]
+            app = jnp.sum(bp * bp, -1)
+            aqq = jnp.sum(bq * bq, -1)
+            apq = jnp.sum(bp * bq, -1)
+            # symSchur2 small-angle rotation (|t| <= 1): the atan2 form
+            # picks ±pi/2 swaps when app > aqq, which stalls convergence
+            d = aqq - app
+            sgn = jnp.where(d >= 0.0, 1.0, -1.0)
+            t = (
+                sgn * 2.0 * apq
+                / (jnp.abs(d) + jnp.sqrt(d * d + 4.0 * apq * apq) + 1e-30)
+            )
+            c = (1.0 / jnp.sqrt(1.0 + t * t))[..., None]
+            s = (t * c[..., 0])[..., None]
+            b[p], b[q] = c * bp - s * bq, s * bp + c * bq
+            vp, vq = v[p], v[q]
+            v[p], v[q] = c * vp - s * vq, s * vp + c * vq
+    norms = [jnp.sqrt(jnp.maximum(jnp.sum(x * x, -1), 0.0)) for x in b]
+
+    # descending sort of 3 (value, U-col, V-col) triplets: static
+    # compare-swap network
+    def cswap(i, j):
+        swap = (norms[j] > norms[i])[..., None]
+        b[i], b[j] = (
+            jnp.where(swap, b[j], b[i]),
+            jnp.where(swap, b[i], b[j]),
+        )
+        v[i], v[j] = (
+            jnp.where(swap, v[j], v[i]),
+            jnp.where(swap, v[i], v[j]),
+        )
+        sw = swap[..., 0]
+        norms[i], norms[j] = (
+            jnp.where(sw, norms[j], norms[i]),
+            jnp.where(sw, norms[i], norms[j]),
+        )
+
+    cswap(0, 1)
+    cswap(0, 2)
+    cswap(1, 2)
+    u0 = b[0] / jnp.maximum(norms[0], 1e-20)[..., None]
+    u1 = b[1] / jnp.maximum(norms[1], 1e-20)[..., None]
+    return u0, u1, norms[0], norms[1], v[0], v[1]
 
 
 def _epipolar_design(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -92,18 +163,23 @@ def _epipolar_design(x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
 
 
 def enforce_essential(E: jnp.ndarray) -> jnp.ndarray:
-    """Project onto the essential manifold: singular values -> (s,s,0)."""
-    u, s, vt = jnp.linalg.svd(E)
-    sv = (s[..., 0] + s[..., 1]) * 0.5
-    d = jnp.stack([sv, sv, jnp.zeros_like(sv)], axis=-1)
-    return u @ (d[..., :, None] * vt)
+    """Project onto the essential manifold: singular values -> (s,s,0).
+    Rank-2 reconstruction from the top-2 Jacobi triplets (the zeroed third
+    singular value means U's null column never enters the product)."""
+    u0, u1, s0, s1, v0, v1 = _svd3_top2(E)
+    m = (s0 + s1) * 0.5
+    return m[..., None, None] * (
+        u0[..., :, None] * v0[..., None, :] + u1[..., :, None] * v1[..., None, :]
+    )
 
 
 def enforce_rank2(F: jnp.ndarray) -> jnp.ndarray:
     """Rank-2 projection keeping singular values (run8Point, fundam.cpp:604)."""
-    u, s, vt = jnp.linalg.svd(F)
-    d = s.at[..., 2].set(0.0)
-    return u @ (d[..., :, None] * vt)
+    u0, u1, s0, s1, v0, v1 = _svd3_top2(F)
+    return (
+        s0[..., None, None] * u0[..., :, None] * v0[..., None, :]
+        + s1[..., None, None] * u1[..., :, None] * v1[..., None, :]
+    )
 
 
 def eight_point(
@@ -288,10 +364,13 @@ def correct_matches(
 def decompose_essential(E: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """E -> (R1, R2, t) candidates (five-point.cpp:643
     decomposeEssentialMat): R1 = U W Vt, R2 = U Wt Vt, t = u3."""
-    u, _, vt = jnp.linalg.svd(E)
-    # keep proper rotations
-    u = u * jnp.sign(jnp.linalg.det(u))
-    vt = vt * jnp.sign(jnp.linalg.det(vt))
+    # Jacobi top-2 triplets + cross-product completion: [u0 u1 u0xu1] is
+    # right-handed by construction (det +1), so no sign fix is needed —
+    # and it skips jnp.linalg.svd's QR-iteration while_loop (~0.4ms for
+    # even a single 3x3 on TPU)
+    u0, u1, _, _, v0, v1 = _svd3_top2(E)
+    u = jnp.stack([u0, u1, jnp.cross(u0, u1)], axis=-1)
+    vt = jnp.stack([v0, v1, jnp.cross(v0, v1)], axis=-2)
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
     R1 = u @ W @ vt
     R2 = u @ W.T @ vt
