@@ -78,20 +78,17 @@ def load_pair():
 
 
 def load_clip(n=100):
-    """First n Megamind frames, gray f32 [n,H,W]; None if no decoder."""
-    try:
-        import cv2
-    except ImportError:
+    """First n Megamind frames, gray f32 [n,H,W], decoded by the
+    framework's OWN MJPEG-AVI reader from the committed transcode
+    (benchmarks/data/megamind_gray.avi, provenance in
+    benchmarks/reencode_clips.py). Zero cv2/ffmpeg dependency."""
+    from opencv_tpu.io.video import read_mjpeg_avi
+
+    path = os.path.join(REPO, "benchmarks", "data", "megamind_gray.avi")
+    if not os.path.exists(path):
         return None
-    cap = cv2.VideoCapture(f"{REF_DATA}/Megamind.avi")
-    frames = []
-    while len(frames) < n:
-        ok, frame = cap.read()
-        if not ok:
-            break
-        frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2GRAY).astype(np.float32))
-    cap.release()
-    return np.stack(frames) if len(frames) == n else None
+    frames = read_mjpeg_avi(path).astype(np.float32)
+    return frames[:n] if frames.shape[0] >= n else None
 
 
 def device_time_per_trip(run, n_iters):

@@ -70,6 +70,12 @@ def extract_patches(img: jnp.ndarray, xy: jnp.ndarray, radius: int) -> jnp.ndarr
     """
     h, w = img.shape
     size = 2 * radius + 1
+    if h < size or w < size:
+        # coarse pyramid levels of small frames can be narrower than the
+        # descriptor patch; pad so the slice stays in range (keypoints
+        # there are border-masked invalid anyway)
+        img = jnp.pad(img, ((0, max(0, size - h)), (0, max(0, size - w))))
+        h, w = img.shape
     cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), radius, w - radius - 1)
     cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), radius, h - radius - 1)
 

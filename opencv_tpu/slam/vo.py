@@ -55,6 +55,19 @@ class VOConfig:
     bootstrap_parallax_px: float = 8.0  # raw median match displacement
     triangulation_parallax_px: float = 12.0  # rotation-compensated
     n_hypotheses: int = 1024
+    # initializer robustness (the ORB-SLAM reset pattern): refuse to seed
+    # KF0 from a near-featureless frame (black lead-ins, fades), and if
+    # bootstrap makes no progress for this many frames (static shot,
+    # scene cut), re-seed KF0 from the current frame instead of waiting
+    # on a stale one forever
+    min_init_features: int = 100
+    bootstrap_max_frames: int = 40
+    # RANSAC early-exit mode. None = auto: the adaptive chunked
+    # while_loop on TPU (real hardware, stable), fixed-batch on XLA:CPU
+    # where building the engine's many adaptive programs in one process
+    # intermittently segfaults the *compiler* (repro:
+    # benchmarks/repro_xla_cpu_whileloop_segfault.py; see COVERAGE.md)
+    ransac_adaptive: bool | None = None
     min_track_inliers: int = 30
     keyframe_min_inliers: int = 60  # below this tracked count -> new KF
     keyframe_min_baseline: float = 0.12  # relative translation trigger
@@ -113,6 +126,12 @@ class VisualOdometry:
         self._boot_parallax = config.bootstrap_parallax_px / f
         self._tri_parallax = config.triangulation_parallax_px / f
         self._huber = 3.0 / f
+        # resolve the RANSAC mode (see VOConfig.ransac_adaptive)
+        self._adaptive = (
+            config.ransac_adaptive
+            if config.ransac_adaptive is not None
+            else jax.default_backend() != "cpu"
+        )
         self.key = jax.random.PRNGKey(seed)
         self.state = "init"  # init -> bootstrapping -> tracking
         self.frames = 0
@@ -671,6 +690,12 @@ class VisualOdometry:
 
         if self.state == "init":
             xy, desc, valid = self._detect_frame(img)
+            if int(valid.sum()) < self.cfg.min_init_features:
+                # near-featureless frame (black lead-in, fade): stay in
+                # init rather than locking a useless KF0
+                self.poses.append((np.zeros(3, np.float32), np.zeros(3, np.float32)))
+                self._prev_img = img
+                return self.poses[-1]
             kf = Keyframe(
                 frame_id,
                 np.zeros(3, np.float32), np.zeros(3, np.float32),
@@ -687,6 +712,21 @@ class VisualOdometry:
             out = self._bootstrap(self.keyframes[0], xy, desc, valid, frame_id)
             self._prev_img = img
             if out is None:
+                stale = frame_id - self.keyframes[0].frame_id
+                if (stale > self.cfg.bootstrap_max_frames
+                        and int(valid.sum()) >= self.cfg.min_init_features):
+                    # bootstrap stalled (static shot / scene cut): re-seed
+                    # KF0 from the current frame rather than waiting on a
+                    # stale one forever
+                    self.keyframes[0] = Keyframe(
+                        frame_id,
+                        np.zeros(3, np.float32), np.zeros(3, np.float32),
+                        xy, desc, valid,
+                        np.full(xy.shape[0], -1, np.int64),
+                    )
+                    self._preinit.clear()
+                    self.poses.append(self.poses[-1])
+                    return self.poses[-1]
                 # not enough parallax yet: buffer the detection and report
                 # the previous pose; the frame is retro-localized against
                 # the map the moment bootstrap succeeds
