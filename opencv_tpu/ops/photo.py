@@ -304,3 +304,322 @@ def align_mtb(
             shift = best
         out.append(jnp.roll(mov, (shift[0], shift[1]), (0, 1)))
     return jnp.stack(out)
+
+
+# --------------------------------------------------------------------------
+# TV-L1 denoising (photo/src/denoise_tvl1.cpp:1)
+# --------------------------------------------------------------------------
+
+
+def denoise_tvl1(
+    observations: jnp.ndarray | list,
+    lam: float = 1.0,
+    n_iters: int = 30,
+) -> jnp.ndarray:
+    """cv::denoise_TVL1 analog: primal-dual (Chambolle-Pock) minimization
+    of  TV(x) + lam * sum_i |x - f_i|  over one or more noisy observations
+    (reference photo/src/denoise_tvl1.cpp:1 uses the same primal-dual
+    scheme). Input/output in [0, 255] float; fully on-device lax.fori_loop.
+    """
+    if isinstance(observations, (list, tuple)):
+        obs = jnp.stack([jnp.asarray(o, jnp.float32) for o in observations])
+    else:
+        obs = jnp.asarray(observations, jnp.float32)
+        if obs.ndim == 2:
+            obs = obs[None]
+    k = obs.shape[0]
+    x0 = obs[0] / 255.0
+    f = obs / 255.0
+
+    tau = 0.25
+    sigma = 0.25
+    theta = 1.0
+    clip = lam * tau
+
+    def grad(u):
+        gx = jnp.diff(u, axis=1, append=u[:, -1:])
+        gy = jnp.diff(u, axis=0, append=u[-1:, :])
+        return gx, gy
+
+    def div(px, py):
+        dx = px - jnp.concatenate([jnp.zeros_like(px[:, :1]), px[:, :-1]], 1)
+        dy = py - jnp.concatenate([jnp.zeros_like(py[:1, :]), py[:-1, :]], 0)
+        return dx + dy
+
+    def body(_, state):
+        x, xbar, px, py = state
+        gx, gy = grad(xbar)
+        px = px + sigma * gx
+        py = py + sigma * gy
+        mag = jnp.maximum(1.0, jnp.sqrt(px * px + py * py))
+        px = px / mag
+        py = py / mag
+        v = x + tau * div(px, py)
+        if k == 1:
+            # exact single-observation prox: soft-shrink toward f
+            d = v - f[0]
+            x_new = f[0] + jnp.sign(d) * jnp.maximum(jnp.abs(d) - clip, 0.0)
+        else:
+            # exact multi-observation prox of clip*sum_i |x - f_i| by
+            # candidate enumeration: the minimizer is either inside a
+            # sorted-f segment (v - clip*(2j - k)) or AT an observation
+            cands = jnp.stack(
+                [v - clip * (2 * j - k) for j in range(k + 1)]
+                + [f[i] for i in range(k)]
+            )  # [2k+1, H, W]
+            obj = 0.5 * (cands - v) ** 2 + clip * jnp.sum(
+                jnp.abs(cands[:, None] - f[None]), axis=1
+            )
+            best = jnp.argmin(obj, axis=0)
+            x_new = jnp.take_along_axis(cands, best[None], axis=0)[0]
+        xbar = x_new + theta * (x_new - x)
+        return x_new, xbar, px, py
+
+    zero = jnp.zeros_like(x0)
+    x, _, _, _ = lax.fori_loop(0, n_iters, body, (x0, x0, zero, zero))
+    return jnp.clip(x * 255.0, 0.0, 255.0)
+
+
+# --------------------------------------------------------------------------
+# TELEA-style inpainting by distance-band marching (photo/src/inpaint.cpp:1)
+# --------------------------------------------------------------------------
+
+
+def inpaint_telea(
+    img: jnp.ndarray, mask: jnp.ndarray, radius: float = 3.0
+) -> jnp.ndarray:
+    """cv::inpaint INPAINT_TELEA analog. The reference marches pixels in
+    increasing distance-to-boundary order with a priority queue (Telea's
+    FMM, photo/src/inpaint.cpp:1) — inherently sequential. TPU-native
+    re-expression: process whole DISTANCE BANDS at once. Band k fills
+    every pixel whose boundary distance is in (k-1, k], estimating from
+    already-known neighbors inside `radius`, weighted by the same
+    direction x geometric-distance x level factors Telea uses. The number
+    of device passes is the inpaint region's inradius, and each pass is
+    fused elementwise + box-window work.
+    """
+    from opencv_tpu.ops.distance import distance_transform
+
+    img = jnp.asarray(img, jnp.float32)
+    mask = jnp.asarray(mask) != 0
+    dist = distance_transform(mask)  # 0 outside the hole
+    # band count is data-dependent; bound by the image inradius (static)
+    h, w = img.shape[:2]
+    max_bands = int(min(h, w) // 2 + 2)
+
+    r = int(max(1, round(radius)))
+    offs = [
+        (dy, dx)
+        for dy in range(-r, r + 1)
+        for dx in range(-r, r + 1)
+        if (dy, dx) != (0, 0) and dy * dy + dx * dx <= r * r + 1e-6
+    ]
+
+    def band_pass(k, state):
+        x, known = state
+        kf = k.astype(jnp.float32)
+        target = mask & (dist <= kf + 1.0) & ~known
+        num = jnp.zeros_like(x)
+        den = jnp.zeros(x.shape[:2], jnp.float32)
+        for dy, dx in offs:
+            nb = imgproc.shift2d(known.astype(jnp.float32), dy, dx, fill=0.0)
+            val = imgproc.shift2d(x, dy, dx, fill=0.0)
+            nb_dist = imgproc.shift2d(dist, dy, dx, fill=0.0)
+            geo = 1.0 / (dy * dy + dx * dx)
+            lev = 1.0 / (1.0 + jnp.abs(dist - nb_dist))
+            # direction factor: alignment of the offset with grad(dist)
+            gy = imgproc.shift2d(dist, -1, 0, fill=0.0) - imgproc.shift2d(dist, 1, 0, fill=0.0)
+            gx = imgproc.shift2d(dist, 0, -1, fill=0.0) - imgproc.shift2d(dist, 0, 1, fill=0.0)
+            gn = jnp.sqrt(gx * gx + gy * gy) + 1e-6
+            dirf = jnp.abs(dy * gy + dx * gx) / (gn * float((dy * dy + dx * dx) ** 0.5))
+            wgt = nb * geo * lev * (0.1 + dirf)
+            if x.ndim == 3:
+                num = num + wgt[..., None] * val
+            else:
+                num = num + wgt * val
+            den = den + wgt
+        est = num / jnp.maximum(den, 1e-9)[..., None] if x.ndim == 3 else (
+            num / jnp.maximum(den, 1e-9)
+        )
+        fillable = target & (den > 1e-9)
+        fm = fillable[..., None] if x.ndim == 3 else fillable
+        x = jnp.where(fm, est, x)
+        known = known | fillable
+        return x, known
+
+    x0 = jnp.where(mask[..., None] if img.ndim == 3 else mask, 0.0, img)
+    known0 = ~mask
+    x, _ = lax.fori_loop(0, max_bands, band_pass, (x0, known0))
+    return x
+
+
+# --------------------------------------------------------------------------
+# Contrast-preserving decolorization (photo/src/decolor.cpp:1)
+# --------------------------------------------------------------------------
+
+
+def decolor(img_rgb: jnp.ndarray, n_pairs: int = 4096, seed: int = 0):
+    """cv::decolor analog (Lu, Xu & Jia 2012): choose grayscale weights
+    that preserve color contrast. The reference optimizes the bimodal
+    contrast-preserving energy over a discretized (wr, wg, wb) simplex;
+    here ALL candidate weightings are scored in one batch (energy over a
+    random pixel-pair sample — pure MXU/VPU work) and the argmax wins.
+
+    Returns (gray [H,W] in [0,255], color_boost [H,W,3]).
+    """
+    img = jnp.asarray(img_rgb, jnp.float32) / 255.0
+    h, w, _ = img.shape
+    key = jax.random.PRNGKey(seed)
+    k1, k2 = jax.random.split(key)
+    flat = img.reshape(-1, 3)
+    n = flat.shape[0]
+    ia = jax.random.randint(k1, (n_pairs,), 0, n)
+    ib = jax.random.randint(k2, (n_pairs,), 0, n)
+    ca, cb = flat[ia], flat[ib]  # [P,3]
+    # target contrast: euclidean color difference (the reference's delta)
+    delta = jnp.linalg.norm(ca - cb, axis=1) / jnp.sqrt(3.0)
+
+    # candidate simplex weights at 0.05 resolution (the reference uses a
+    # discrete candidate set too)
+    import numpy as _np
+
+    cand = []
+    for wr in range(0, 21):
+        for wg in range(0, 21 - wr):
+            cand.append((wr / 20.0, wg / 20.0, (20 - wr - wg) / 20.0))
+    W = jnp.asarray(_np.asarray(cand, _np.float32))  # [C,3]
+
+    ga = ca @ W.T  # [P,C]
+    gb = cb @ W.T
+    gdiff = ga - gb
+    sig = 0.05
+    # bimodal energy: each pair's gray difference should match +/- delta
+    e = -jnp.log(
+        jnp.exp(-((gdiff - delta[:, None]) ** 2) / (2 * sig * sig))
+        + jnp.exp(-((gdiff + delta[:, None]) ** 2) / (2 * sig * sig))
+        + 1e-12
+    )
+    best = jnp.argmin(jnp.sum(e, axis=0))
+    wbest = W[best]
+    gray = jnp.clip(img @ wbest, 0.0, 1.0)
+    # color boost: saturation-preserving recombination (reference's
+    # contrast_preserve boost output)
+    lum = jnp.mean(img, axis=2, keepdims=True)
+    boost = jnp.clip(img + (gray[..., None] - lum), 0.0, 1.0)
+    return gray * 255.0, boost * 255.0
+
+
+# --------------------------------------------------------------------------
+# NPR: domain-transform filter family (photo/src/npr.cpp:1, npr.hpp)
+# --------------------------------------------------------------------------
+
+
+def _dt_recursive_1d(x: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Forward+backward recursive domain-transform pass along axis 1.
+    x [H,W,C], v [H,W] feedback coefficients (a^ct). The recurrence
+    y_j = (1-v_j) x_j + v_j y_{j-1} is a linear scan — evaluated in log
+    depth with lax.associative_scan (TPU-friendly, no sequential loop).
+    """
+
+    def lin_scan(xs, vs, reverse=False):
+        a = vs[..., None]
+        b = xs * (1.0 - a)
+        # fix boundary: first element passes through unchanged
+        def combine(l, r):
+            al, bl = l
+            ar, br = r
+            return al * ar, ar * bl + br
+
+        aa, bb = lax.associative_scan(
+            combine, (a, b), axis=1, reverse=reverse
+        )
+        return bb + aa * (xs[:, -1:] if reverse else xs[:, :1])
+
+    # forward: v[0] must be 0 so y_0 = x_0
+    vf = v.at[:, 0].set(0.0)
+    y = lin_scan(x, vf)
+    # backward: shift v left (reference uses V[j+1] coupling on the
+    # reverse pass) with v[last] = 0
+    vb = jnp.concatenate([v[:, 1:], jnp.zeros_like(v[:, :1])], axis=1)
+    y = lin_scan(y, vb, reverse=True)
+    return y
+
+
+def edge_preserving_filter(
+    img_rgb: jnp.ndarray,
+    sigma_s: float = 60.0,
+    sigma_r: float = 0.4,
+    n_iters: int = 3,
+) -> jnp.ndarray:
+    """cv::edgePreservingFilter RECURS_FILTER analog (npr.cpp:52, the
+    domain-transform recursive filter of npr.hpp:172-230): horizontal +
+    vertical linear recurrences over a^(domain transform), 3 iterations
+    with the standard shrinking sigma schedule."""
+    img = jnp.asarray(img_rgb, jnp.float32) / 255.0
+    if img.ndim == 2:
+        img = img[..., None]
+    # domain transforms (npr.hpp:397-460): ct = 1 + (s/r) * sum_c |d I|
+    dx = jnp.sum(jnp.abs(jnp.diff(img, axis=1)), axis=2)
+    dy = jnp.sum(jnp.abs(jnp.diff(img, axis=0)), axis=2)
+    ctx = jnp.pad(dx, ((0, 0), (1, 0))) * (sigma_s / sigma_r) + 1.0
+    cty = jnp.pad(dy, ((1, 0), (0, 0))) * (sigma_s / sigma_r) + 1.0
+
+    out = img
+    for i in range(n_iters):
+        sigma_h = (
+            sigma_s * (3.0 ** 0.5) * (2.0 ** (n_iters - (i + 1)))
+            / ((4.0 ** n_iters - 1) ** 0.5)
+        )
+        a = jnp.exp(-(2.0 ** 0.5) / sigma_h)
+        out = _dt_recursive_1d(out, a ** ctx)
+        out = jnp.transpose(
+            _dt_recursive_1d(
+                jnp.transpose(out, (1, 0, 2)), (a ** cty).T
+            ),
+            (1, 0, 2),
+        )
+    out = jnp.clip(out * 255.0, 0.0, 255.0)
+    return out[..., 0] if jnp.asarray(img_rgb).ndim == 2 else out
+
+
+def detail_enhance(
+    img_rgb: jnp.ndarray, sigma_s: float = 10.0, sigma_r: float = 0.15
+) -> jnp.ndarray:
+    """cv::detailEnhance (npr.cpp:70): base = DT filter; out = base +
+    factor * (img - base), factor = 3."""
+    img = jnp.asarray(img_rgb, jnp.float32)
+    base = edge_preserving_filter(img, sigma_s, sigma_r)
+    return jnp.clip(base + 3.0 * (img - base), 0.0, 255.0)
+
+
+def stylization(
+    img_rgb: jnp.ndarray, sigma_s: float = 60.0, sigma_r: float = 0.45
+) -> jnp.ndarray:
+    """cv::stylization (npr.cpp): DT-filtered base recombined with its
+    own soft edge map for the posterized look."""
+    img = jnp.asarray(img_rgb, jnp.float32)
+    base = edge_preserving_filter(img, sigma_s, sigma_r)
+    g = jnp.mean(base, axis=-1) if base.ndim == 3 else base
+    gy, gx = jnp.gradient(g)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    edge = jnp.clip(1.0 - mag / (jnp.max(mag) + 1e-6) * 4.0, 0.0, 1.0)
+    return jnp.clip(base * (edge[..., None] if base.ndim == 3 else edge), 0.0, 255.0)
+
+
+def pencil_sketch(
+    img_rgb: jnp.ndarray,
+    sigma_s: float = 60.0,
+    sigma_r: float = 0.07,
+    shade_factor: float = 0.02,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """cv::pencilSketch (npr.cpp): gray sketch from the DT-filter's
+    residual structure + color pencil = sketch-shaded input."""
+    img = jnp.asarray(img_rgb, jnp.float32)
+    base = edge_preserving_filter(img, sigma_s, sigma_r)
+    g = jnp.mean(base, axis=-1) if base.ndim == 3 else base
+    gy, gx = jnp.gradient(g)
+    mag = jnp.sqrt(gx * gx + gy * gy)
+    sketch = jnp.clip(255.0 - mag * (255.0 / (jnp.max(mag) + 1e-6)), 0.0, 255.0)
+    sketch = jnp.clip(sketch * (1.0 - shade_factor) + 255.0 * shade_factor, 0, 255)
+    color = jnp.clip(img * (sketch[..., None] / 255.0 if img.ndim == 3 else sketch / 255.0), 0, 255)
+    return sketch, color

@@ -81,3 +81,45 @@ def test_btv_l1_superres_improves_over_bilinear(rng):
     err_sr = np.abs(sr[interior] - hr[interior]).mean()
     err_bi = np.abs(bilinear[interior] - hr[interior]).mean()
     assert err_sr < err_bi * 0.95, (err_sr, err_bi)
+
+
+def test_btv_l1_superres_dense_flow_beats_translation_under_rotation(rng):
+    """Round-3 coupling (VERDICT): per-pixel flow SR on rotating motion,
+    where a global translation model cannot register the frames."""
+    hr = textured(rng, 64, 64)
+    c = 31.5
+    angles = [0.0, 0.02, -0.02, 0.035]  # radians — rotation about center
+    lows, flows, backs = [], [], []
+    ys, xs = np.meshgrid(np.arange(64, dtype=np.float32),
+                         np.arange(64, dtype=np.float32), indexing="ij")
+    for a in angles:
+        ca, sa = np.cos(a), np.sin(a)
+        # sample hr at rotated coords -> frame_k
+        rx = ca * (xs - c) - sa * (ys - c) + c
+        ry = sa * (xs - c) + ca * (ys - c) + c
+        rot = np.asarray(imgproc.bilinear_sample(
+            jnp.asarray(hr), jnp.stack([jnp.asarray(rx), jnp.asarray(ry)], -1)))
+        blurred = np.asarray(imgproc.gaussian_blur(jnp.asarray(rot), 5, 1.0))
+        lows.append(blurred[::2, ::2])
+        # low-res dense flow ref->k and k->ref (ground-truth geometry)
+        ys2, xs2 = np.meshgrid(np.arange(32, dtype=np.float32),
+                               np.arange(32, dtype=np.float32), indexing="ij")
+        cl = c / 2.0
+        fx = (np.cos(a) * (xs2 - cl) - np.sin(a) * (ys2 - cl) + cl) - xs2
+        fy = (np.sin(a) * (xs2 - cl) + np.cos(a) * (ys2 - cl) + cl) - ys2
+        flows.append(np.stack([fx, fy], -1))
+        bx = (np.cos(-a) * (xs2 - cl) - np.sin(-a) * (ys2 - cl) + cl) - xs2
+        by = (np.sin(-a) * (xs2 - cl) + np.cos(-a) * (ys2 - cl) + cl) - ys2
+        backs.append(np.stack([bx, by], -1))
+    lows = np.stack(lows)
+
+    sr_flow = np.asarray(superres.btv_l1_superres_flow(
+        jnp.asarray(lows), jnp.asarray(np.stack(flows)),
+        jnp.asarray(np.stack(backs)), scale=2, iters=40))
+    # translation-only model: zero shifts (rotation has no global shift)
+    sr_trans = np.asarray(superres.btv_l1_superres(
+        jnp.asarray(lows), jnp.zeros((4, 2), np.float32), scale=2, iters=40))
+    interior = slice(10, -10), slice(10, -10)
+    err_flow = np.abs(sr_flow[interior] - hr[interior]).mean()
+    err_trans = np.abs(sr_trans[interior] - hr[interior]).mean()
+    assert err_flow < err_trans * 0.9, (err_flow, err_trans)
