@@ -1,0 +1,206 @@
+"""Multi-chip scaling harness (BASELINE.md ≥0.7 efficiency target).
+
+No multi-chip hardware is reachable from this box, so this harness does
+the two things that CAN be done now (VERDICT r2 item 6):
+
+  1. Scaling-shape measurement on the virtual CPU mesh: BA LM-iterations/s
+     and front-end frames/s at 1/2/4/8 devices with the REAL sharded
+     programs (parallel/dist_ba.py shard_map + psum; DP vmap front-end).
+     CPU timings do not predict TPU magnitudes, but they validate that
+     per-device work shrinks ~1/N while the psum'd tensors stay
+     parameter-sized — the property the ≥0.7 target rests on.
+
+  2. Exact collective-volume accounting per LM step, enumerated from the
+     NormalEqs/CG shapes (these are architecture facts, not timings), and
+     the analytic v5p 2-host efficiency prediction written to DESIGN.md.
+
+Run:  python benchmarks/bench_multichip.py
+Emits benchmarks/multichip_results.json + a stdout table.
+"""
+
+import json
+import os
+import time
+
+# virtual 8-device CPU mesh (same mechanism as tests/conftest.py)
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax import lax  # noqa: E402
+from jax.sharding import Mesh  # noqa: E402
+
+from opencv_tpu.core.config import ORBConfig  # noqa: E402
+from opencv_tpu.optim import ba  # noqa: E402
+from opencv_tpu.parallel import dist_ba  # noqa: E402
+from opencv_tpu.parallel.mesh import DATA_AXIS  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+C, P_PTS, OBS_PER_CAM = 8, 2048, 2048  # engine-scale BA window
+CG_ITERS = 30
+
+
+def make_problem(rng):
+    pts = rng.uniform([-5, -5, 4], [5, 5, 20], (P_PTS, 3)).astype(np.float32)
+    cam_r = rng.normal(0, 0.01, (C, 3)).astype(np.float32)
+    cam_t = rng.normal(0, 0.1, (C, 3)).astype(np.float32)
+    obs_cam = np.repeat(np.arange(C, dtype=np.int32), OBS_PER_CAM)
+    obs_pt = np.tile(np.arange(P_PTS, dtype=np.int32)[:OBS_PER_CAM], C)
+    from opencv_tpu.geometry.rotation import rodrigues
+
+    uv = []
+    for c in range(C):
+        R = np.asarray(rodrigues(jnp.asarray(cam_r[c])))
+        pc = pts[obs_pt[:OBS_PER_CAM]] @ R.T + cam_t[c]
+        uv.append(pc[:, :2] / pc[:, 2:3])
+    obs_uv = (np.concatenate(uv) + rng.normal(0, 1e-3, (C * OBS_PER_CAM, 2))).astype(
+        np.float32
+    )
+    return ba.BAProblem(
+        cam_rvec=jnp.asarray(cam_r),
+        cam_tvec=jnp.asarray(cam_t),
+        points=jnp.asarray(pts),
+        obs_cam=jnp.asarray(obs_cam),
+        obs_pt=jnp.asarray(obs_pt),
+        obs_uv=jnp.asarray(obs_uv),
+        obs_valid=jnp.ones((C * OBS_PER_CAM,), bool),
+        fixed_cams=jnp.asarray(np.arange(C) < 2),
+    )
+
+
+def time_ba(n_dev: int, prob) -> float:
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (DATA_AXIS,))
+
+    @jax.jit
+    def run(state, n):
+        def body(i, s):
+            return dist_ba.ba_step_sharded(s, mesh, huber_delta=5e-3,
+                                           cg_iters=CG_ITERS)
+        return lax.fori_loop(0, n, body, state).cost
+
+    state0 = ba.BAStepState(
+        problem=prob, lam=jnp.float32(1e-4), cost=ba.cost(prob),
+        n_accepted=jnp.int32(0),
+    )
+    float(run(state0, 1))
+    t0 = time.perf_counter()
+    float(run(state0, 6))
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(state0, 1))
+    tb = time.perf_counter() - t0
+    return 5 / (ta - tb)  # LM iters / s
+
+
+def time_frontend(n_dev: int) -> float:
+    """DP front-end: ORB detect+describe on a batch of frames sharded
+    over the mesh (frames ≙ data parallel, SURVEY §7.8)."""
+    from opencv_tpu.ops import orb
+
+    cfg = ORBConfig(n_features=500, n_levels=4)
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), (DATA_AXIS,))
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(
+        rng.uniform(0, 255, size=(8, 240, 320)).astype(np.float32)
+    )
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    frames = jax.device_put(frames, NamedSharding(mesh, P(DATA_AXIS)))
+
+    @jax.jit
+    def run(fs, n):
+        def body(i, acc):
+            kp, desc = jax.vmap(
+                lambda f: orb.detect_and_compute(f, cfg)
+            )(fs * (1.0 + acc * 1e-30))
+            return jnp.sum(desc) * 1e-12
+
+        return lax.fori_loop(0, n, body, jnp.float32(0.0))
+
+    float(run(frames, 1))
+    t0 = time.perf_counter()
+    float(run(frames, 4))
+    ta = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(run(frames, 1))
+    tb = time.perf_counter() - t0
+    return 3 * 8 / (ta - tb)  # frames / s
+
+
+def collective_volumes(n_dev: int) -> dict:
+    """Exact per-LM-step all-reduce payloads (bytes), from the NormalEqs
+    and Schur-CG shapes in optim/ba.py / parallel/dist_ba.py. A ring
+    all-reduce moves 2*(N-1)/N * payload per device."""
+    f32 = 4
+    assemble = (C * 6 * 6 + P_PTS * 3 * 3 + C * 6 + P_PTS * 3) * f32
+    per_cg = (C * 6 + P_PTS * 3) * f32
+    cost_check = f32
+    payload = assemble + CG_ITERS * per_cg + cost_check
+    ring = 2 * (n_dev - 1) / max(n_dev, 1)
+    return {
+        "assemble_bytes": assemble,
+        "per_cg_iter_bytes": per_cg,
+        "cg_iters": CG_ITERS,
+        "total_allreduce_payload_bytes": payload,
+        "ring_bytes_on_wire_per_device": int(payload * ring),
+        "observation_bytes_NOT_moved": int(C * OBS_PER_CAM * (4 * 3 + 8)),
+    }
+
+
+def main():
+    rng = np.random.default_rng(0)
+    prob = make_problem(rng)
+    rows = []
+    for n in (1, 2, 4, 8):
+        ips = time_ba(n, prob)
+        fps = time_frontend(n)
+        vol = collective_volumes(n)
+        rows.append({"devices": n, "ba_lm_iters_per_s": round(ips, 3),
+                     "frontend_frames_per_s": round(fps, 2), **vol})
+        base = rows[0]
+        # on REAL hardware each device adds compute: report speedup/N.
+        # On this box the virtual devices share 2 physical cores, so the
+        # meaningful sanity metric is aggregate-throughput RETENTION —
+        # sharding + collectives should not shrink total throughput.
+        eff_ba = ips / (base["ba_lm_iters_per_s"] * n)
+        eff_fe = fps / (base["frontend_frames_per_s"] * n)
+        rows[-1]["ba_scaling_eff_if_real_devices"] = round(eff_ba, 3)
+        rows[-1]["frontend_scaling_eff_if_real_devices"] = round(eff_fe, 3)
+        rows[-1]["ba_retention_vs_1dev"] = round(
+            ips / base["ba_lm_iters_per_s"], 3
+        )
+        rows[-1]["frontend_retention_vs_1dev"] = round(
+            fps / base["frontend_frames_per_s"], 3
+        )
+        print(
+            f"devices={n}: BA {ips:7.2f} it/s (retention "
+            f"{rows[-1]['ba_retention_vs_1dev']:.2f})  "
+            f"frontend {fps:7.1f} f/s (retention "
+            f"{rows[-1]['frontend_retention_vs_1dev']:.2f})  "
+            f"allreduce/step {vol['total_allreduce_payload_bytes']/1e6:.2f} MB",
+            flush=True,
+        )
+    out = {
+        "host": "virtual CPU mesh (xla_force_host_platform_device_count)",
+        "note": "CPU timings validate scaling shape, not TPU magnitudes; "
+                "collective volumes are exact shape-derived facts. See "
+                "DESIGN.md for the v5p 2-host efficiency model.",
+        "problem": {"cams": C, "points": P_PTS, "obs": C * OBS_PER_CAM,
+                    "cg_iters": CG_ITERS},
+        "rows": rows,
+    }
+    with open(os.path.join(REPO, "benchmarks", "multichip_results.json"), "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote benchmarks/multichip_results.json")
+
+
+if __name__ == "__main__":
+    main()
