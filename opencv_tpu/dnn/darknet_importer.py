@@ -10,7 +10,9 @@ biases then weights).
 
 Supported sections: net, convolutional (leaky/linear activation,
 batch_normalize, pad/stride), maxpool, avgpool, upsample, route,
-shortcut, connected, softmax — the classification + YOLO-backbone set.
+shortcut, connected, softmax, region (YOLO v2 head), yolo (v3 head) —
+classification backbones AND detection image->boxes end-to-end
+(decode via dnn/layers.py region_decode + nms_boxes).
 NCHW layout like the source framework."""
 
 from __future__ import annotations
@@ -236,6 +238,51 @@ def load_darknet(cfg_text: str, weights=None, in_channels: int | None = None) ->
         elif t == "softmax":
             net.add_layer(name, lambda x: jax.nn.softmax(x, -1), [names[-1]])
             chans.append(chans[-1])
+        elif t == "region":
+            # YOLO v2 head (dnn/src/layers/region_layer.cpp): anchors in
+            # GRID units, softmax classes, wh normalized by the grid
+            classes = int(sec.get("classes", 20))
+            num = int(sec.get("num", 5))
+            thresh = float(sec.get("thresh", 0.2))
+            use_softmax = int(sec.get("softmax", 0)) == 1
+            biases = np.asarray(
+                [float(v) for v in sec.get(
+                    "anchors", ",".join(["1,1"] * num)).replace(" ", ",").split(",") if v],
+                np.float32,
+            ).reshape(-1, 2)[:num]
+            anchors_j = jnp.asarray(biases)
+            net.add_layer(
+                name,
+                (lambda anchors_j=anchors_j, classes=classes, th=thresh,
+                        sm=use_softmax: lambda x: layers.region_decode(
+                    x, anchors_j, classes, use_softmax=sm, thresh=th
+                ))(),
+                [names[-1]],
+            )
+            chans.append(5 + classes)
+        elif t == "yolo":
+            # YOLO v3 head: per-scale anchor subset via `mask`, anchors
+            # in NET-INPUT pixels, independent logistic classes
+            classes = int(sec.get("classes", 80))
+            all_anchors = np.asarray(
+                [float(v) for v in sec["anchors"].replace(" ", ",").split(",") if v],
+                np.float32,
+            ).reshape(-1, 2)
+            mask = [int(v) for v in str(sec.get("mask", "0,1,2")).split(",")]
+            anchors_j = jnp.asarray(all_anchors[mask])
+            netw = float(net_cfg.get("width", 416))
+            neth = float(net_cfg.get("height", 416))
+            thresh = float(sec.get("thresh", 0.2))
+            net.add_layer(
+                name,
+                (lambda anchors_j=anchors_j, classes=classes, th=thresh,
+                        wh=(netw, neth): lambda x: layers.region_decode(
+                    x, anchors_j, classes, use_softmax=False, thresh=th,
+                    wh_norm=wh,
+                ))(),
+                [names[-1]],
+            )
+            chans.append(5 + classes)
         else:
             raise NotImplementedError(f"darknet section {t!r}")
         names.append(name)
