@@ -7,22 +7,37 @@ min-eigenvalue gate, and <=30 Newton iterations on the mismatch vector
 CUDA version runs one thread-block per point with texture-unit bilinear
 fetches (cudaoptflow/src/cuda/pyrlk.cu:368 `sparseKernel`).
 
-TPU-native design — GATHER-FREE window sampling on the MXU:
+TPU-native design — PATCH-CACHED separable sampling:
 
-TPU has no texture units and XLA lowers pointwise gathers to slow
-scalar loops, so the CUDA shape (fetch 441 bilinear taps per point per
-iteration) is the one thing NOT to port. Because the LK window is a
-RIGID win x win grid at a fractional offset, bilinear sampling is
-separable:
+TPU has no texture units, so the CUDA shape (fetch 441 scattered
+bilinear taps per point per iteration, pyrlk.cu:67-85) is the one thing
+NOT to port. Because the LK window is a RIGID win x win grid at a
+fractional offset, bilinear sampling is separable:
 
-    window_n = Wy_n @ level_image @ Wx_n^T
+    window_n = Wy_n @ patch_n @ Wx_n^T
 
-where Wy/Wx are [win, H] / [win, W] banded interpolation matrices (two
-nonzeros per row) rebuilt each iteration from the current guess. The
-first contraction flattens to ONE large matmul ([N*win, H] @ [H, W]) —
-pure MXU work, zero gathers, zero dynamic shapes. Out-of-image taps get
-all-zero weight rows (sample 0 -> gradient gate handles the rest). The
-30-iteration Newton loop exits early once every live point converges.
+where Wy/Wx are banded interpolation matrices (two nonzeros per row)
+rebuilt each iteration from the current guess.
+
+Round-2 shipped this against the FULL level image ([N*win, H] @ [H, W]
+per iteration) — MXU-pure but HBM-bound: the [N, win, H] weight tensors
+cost ~170 MB of traffic per iteration at 720p. Round 3 restructures it
+as a two-phase schedule:
+
+  1. ONCE per level: extract a [N, P, P] patch around every point
+     (template) / initial guess (target) — embedding-style row gather
+     (the one gather XLA lowers well on TPU) + a one-hot column matmul,
+     exact via a bf16 hi/lo split of the f32 image.
+  2. Per Newton iteration: sample the win x win window INSIDE the
+     cached patch with tiny [N, win, P] banded matrices — per-iteration
+     HBM traffic drops ~40x and is level-size independent.
+
+Guesses are clamped to stay patch-representable (±(P-win)/2-1 px of the
+level's initial guess, ±13 px at P=48 — beyond LK's physical capture
+range per level anyway). Levels smaller than P fall back to the dense
+full-image path (tiny there by construction). The 30-iteration Newton
+loop exits early once every live point converges, then compacts the
+stragglers to N/4 capacity.
 """
 
 from __future__ import annotations
@@ -77,7 +92,187 @@ def _sample_at(img, pts, win, precision=_PS):
     return _sample_windows(img, wy, wx, precision)
 
 
-def _track_level(
+_PATCH = 48  # target-patch edge; slack = (P - win)/2 - 1 px per level
+
+
+def _split_hi_lo(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """f32 -> (hi, lo) bf16 pair with hi + lo == img to f32 accuracy."""
+    hi = img.astype(jnp.bfloat16)
+    lo = (img - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _extract_patches(
+    channels: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray, p: int
+) -> jnp.ndarray:
+    """[C,H,W] bf16 + [N] int32 patch origins -> [C,N,p,p] f32 patches.
+
+    Row selection is an embedding-style gather (the one gather shape XLA
+    lowers efficiently on TPU); column selection is a one-hot matmul —
+    exact selection, f32 accumulate.
+    """
+    c, h, w = channels.shape
+    n = y0.shape[0]
+    row_idx = (y0[:, None] + jnp.arange(p, dtype=jnp.int32)[None, :]).reshape(-1)
+    # axis-0 gather on column-stacked channels (embedding-style — the one
+    # gather layout the TPU lowers at near memory speed); one shared
+    # one-hot column contraction for all channels
+    stacked = jnp.transpose(channels, (1, 0, 2)).reshape(h, c * w)
+    rows = jnp.take(stacked, row_idx, axis=0).reshape(n, p, c, w)
+    cols = x0[:, None] + jnp.arange(p, dtype=jnp.int32)[None, :]  # [N,p]
+    d = jax.lax.broadcasted_iota(jnp.int32, (n, p, w), 2)
+    sel = (d == cols[:, :, None]).astype(jnp.bfloat16)  # [N,p,W] one-hot
+    out = jnp.einsum(
+        "npcw,nqw->cnpq", rows, sel, preferred_element_type=jnp.float32
+    )
+    return out
+
+
+def _track_level_patch(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    dx: jnp.ndarray,
+    dy: jnp.ndarray,
+    base_pts: jnp.ndarray,
+    guess_pts: jnp.ndarray,
+    cfg: LKConfig,
+    iter_precision=_PS_ITER,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Patch-cached LK level (see module docstring phase split).
+
+    Schedule (measured on v5e): templates sampled DENSE once (iw at HIGH
+    for the polish, gradients at iteration precision — they only build G
+    and the mismatch projections); the Newton loop samples J from a
+    single-bf16 cached patch (iteration precision is bf16 anyway, so the
+    hi/lo split would buy nothing); the final polish + residual is ONE
+    dense HIGH sample at the converged position, which also restores
+    exact full-image semantics for any point that hit the patch clamp.
+    """
+    win = cfg.win_size
+    p = _PATCH
+    n = base_pts.shape[0]
+    area = float(win * win)
+    h, w = prev_img.shape
+    half = win // 2
+    lo_lim = jnp.float32(half)
+    hi_lim = jnp.float32(p - half - 2)
+
+    # ---- templates: dense banded sampling, once
+    wy_b = _interp_weights(base_pts[:, 1], win, h)
+    wx_b = _interp_weights(base_pts[:, 0], win, w)
+    iw = _sample_windows(prev_img, wy_b, wx_b, _PS)
+    ix = _sample_windows(dx, wy_b, wx_b, iter_precision)
+    iy = _sample_windows(dy, wy_b, wx_b, iter_precision)
+
+    # ---- J patches at integer offsets around the initial guess (bf16)
+    jy0 = jnp.clip(jnp.round(guess_pts[:, 1]).astype(jnp.int32) - p // 2, 0, h - p)
+    jx0 = jnp.clip(jnp.round(guess_pts[:, 0]).astype(jnp.int32) - p // 2, 0, w - p)
+    next_patch = _extract_patches(
+        next_img.astype(jnp.bfloat16)[None], jy0, jx0, p
+    )[0]
+    joff = jnp.stack([jx0, jy0], axis=-1).astype(jnp.float32)  # (x, y)
+
+    gxx = jnp.sum(ix * ix, axis=(1, 2))
+    gxy = jnp.sum(ix * iy, axis=(1, 2))
+    gyy = jnp.sum(iy * iy, axis=(1, 2))
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) * 0.5 / area
+    ok = min_eig > cfg.min_eig_threshold
+    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+
+    def clamp_local(g_loc):
+        return jnp.clip(g_loc, lo_lim, hi_lim)
+
+    def sample_j(g_loc, precision, patches=next_patch):
+        wy = _interp_weights(g_loc[:, 1], win, p)
+        wx = _interp_weights(g_loc[:, 0], win, p)
+        tmp = jnp.einsum("nad,nde->nae", wy, patches, precision=precision)
+        return jnp.einsum("nae,nbe->nab", tmp, wx, precision=precision)
+
+    def newton_step(g_loc, precision, sel=None):
+        if sel is None:
+            jw = sample_j(clamp_local(g_loc), precision)
+            diff = iw - jw
+            d_x = (gyy * jnp.sum(diff * ix, (1, 2))
+                   - gxy * jnp.sum(diff * iy, (1, 2))) / safe_det
+            d_y = (gxx * jnp.sum(diff * iy, (1, 2))
+                   - gxy * jnp.sum(diff * ix, (1, 2))) / safe_det
+        else:
+            jw = sample_j(clamp_local(g_loc), precision, next_patch[sel])
+            diff = iw[sel] - jw
+            d_x = (gyy[sel] * jnp.sum(diff * ix[sel], (1, 2))
+                   - gxy[sel] * jnp.sum(diff * iy[sel], (1, 2))) / safe_det[sel]
+            d_y = (gxx[sel] * jnp.sum(diff * iy[sel], (1, 2))
+                   - gxy[sel] * jnp.sum(diff * ix[sel], (1, 2))) / safe_det[sel]
+        return jnp.stack([d_x, d_y], axis=-1)
+
+    g_loc0 = guess_pts - joff
+
+    def body(carry):
+        g_loc, converged = carry
+        delta = newton_step(g_loc, iter_precision)
+        do_update = (ok & ~converged)[:, None]
+        new_g = jnp.where(do_update, clamp_local(g_loc + delta), g_loc)
+        step = jnp.sum(delta * delta, axis=-1)
+        converged = converged | (step <= cfg.eps * cfg.eps)
+        return new_g, converged
+
+    phase1 = min(10, cfg.max_iters)
+
+    def loop_cond1(state):
+        i, (_, converged) = state
+        return (i < phase1) & ~jnp.all(converged | ~ok)
+
+    converged0 = jnp.zeros((n,), bool)
+    _, (g_loc, converged) = lax.while_loop(
+        loop_cond1,
+        lambda s: (s[0] + 1, body(s[1])),
+        (jnp.int32(0), (clamp_local(g_loc0), converged0)),
+    )
+
+    # straggler compaction (see dense path): finish only the unconverged
+    cap = min(n, max(n // 4, 32))
+    live = ok & ~converged
+    sel, keep = masked_top_k(live.astype(jnp.float32), live, cap)
+
+    def body_sub(carry):
+        g_sub, conv_sub = carry
+        delta = newton_step(g_sub, iter_precision, sel=sel)
+        do_update = (keep & ~conv_sub)[:, None]
+        g_new = jnp.where(do_update, clamp_local(g_sub + delta), g_sub)
+        step = jnp.sum(delta * delta, axis=-1)
+        return g_new, conv_sub | (step <= cfg.eps * cfg.eps)
+
+    def cond_sub(state):
+        i, (_, conv_sub) = state
+        return (i < cfg.max_iters - phase1) & ~jnp.all(conv_sub | ~keep)
+
+    _, (g_sub, _) = lax.while_loop(
+        cond_sub,
+        lambda s: (s[0] + 1, body_sub(s[1])),
+        (jnp.int32(0), (g_loc[sel], ~live[sel] | ~keep)),
+    )
+    g_loc = g_loc.at[sel].set(jnp.where(keep[:, None], g_sub, g_loc[sel]))
+
+    # ONE dense high-precision pass: polish step from an exact full-image
+    # J sample, and the residual from the same sample (the residual moves
+    # by O(polish step) = sub-eps — cv2's err tolerance class)
+    guess = g_loc + joff
+    jw = _sample_at(next_img, guess, win, _PS)
+    diff = iw - jw
+    d_x = (gyy * jnp.sum(diff * ix, (1, 2))
+           - gxy * jnp.sum(diff * iy, (1, 2))) / safe_det
+    d_y = (gxx * jnp.sum(diff * iy, (1, 2))
+           - gxy * jnp.sum(diff * ix, (1, 2))) / safe_det
+    guess = jnp.where(
+        ok[:, None], guess + jnp.stack([d_x, d_y], -1), guess
+    )
+    residual = jnp.mean(jnp.abs(diff), axis=(1, 2))
+    return guess, min_eig, residual
+
+
+def _track_level_dense(
     prev_img: jnp.ndarray,
     next_img: jnp.ndarray,
     dx: jnp.ndarray,
@@ -87,17 +282,21 @@ def _track_level(
     cfg: LKConfig,
     iter_precision=_PS_ITER,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One pyramid level of LK. Returns (new_guess, min_eig, residual)."""
+    """One pyramid level of LK, dense full-image sampling (fallback for
+    levels smaller than the cache patch). Returns (guess, min_eig, res)."""
     win = cfg.win_size
     n = base_pts.shape[0]
     area = float(win * win)
 
-    # fixed prev-image windows: intensity + Scharr gradients, sampled once
+    # fixed prev-image windows, sampled once: intensity at HIGH (feeds
+    # the final polish), gradients at iteration precision (they only
+    # build G and the mismatch projections — bf16 noise there moves the
+    # converged point by well under eps)
     wy_b = _interp_weights(base_pts[:, 1], win, prev_img.shape[0])
     wx_b = _interp_weights(base_pts[:, 0], win, prev_img.shape[1])
-    iw = _sample_windows(prev_img, wy_b, wx_b)
-    ix = _sample_windows(dx, wy_b, wx_b)
-    iy = _sample_windows(dy, wy_b, wx_b)
+    iw = _sample_windows(prev_img, wy_b, wx_b, _PS)
+    ix = _sample_windows(dx, wy_b, wx_b, iter_precision)
+    iy = _sample_windows(dy, wy_b, wx_b, iter_precision)
 
     gxx = jnp.sum(ix * ix, axis=(1, 2))
     gxy = jnp.sum(ix * iy, axis=(1, 2))
@@ -186,12 +385,44 @@ def _track_level(
     # points beyond the straggler capacity keep their phase-1 estimate
     guess = guess.at[sel].set(jnp.where(keep[:, None], g_sub, guess[sel]))
 
-    # one high-precision polish step corrects the bf16 iteration bias
-    guess = jnp.where(ok[:, None], guess + newton_step(guess, _PS), guess)
-
-    jw = _sample_at(next_img, guess, win)
-    residual = jnp.mean(jnp.abs(iw - jw), axis=(1, 2))
+    # one high-precision pass: the polish step corrects the bf16
+    # iteration bias, and its pre-step sample doubles as the residual
+    # (the residual moves by O(polish step) — sub-eps)
+    jw = _sample_at(next_img, guess, win, _PS)
+    diff = iw - jw
+    bx = jnp.sum(diff * ix, axis=(1, 2))
+    by = jnp.sum(diff * iy, axis=(1, 2))
+    delta = jnp.stack(
+        [(gyy * bx - gxy * by) / safe_det, (gxx * by - gxy * bx) / safe_det],
+        axis=-1,
+    )
+    guess = jnp.where(ok[:, None], guess + delta, guess)
+    residual = jnp.mean(jnp.abs(diff), axis=(1, 2))
     return guess, min_eig, residual
+
+
+# patch-path crossover (measured on v5e, 512 pts): within-patch iteration
+# cost is level-size independent (~25 us/iter) while the dense banded
+# iteration shrinks 4x per pyramid level (~87 us at 528x720), so patches
+# only pay for themselves on large levels
+_PATCH_MIN_AREA = 350 * 350
+
+
+def _track_level(
+    prev_img, next_img, dx, dy, base_pts, guess_pts, cfg,
+    iter_precision=_PS_ITER,
+):
+    """Dispatch: patch-cached path on large levels (where dense banded
+    sampling is HBM/FLOP-bound), dense full-image sampling on small ones
+    (cheap there, and patches would not shrink with the level)."""
+    h, w = prev_img.shape
+    if min(h, w) >= _PATCH and h * w >= _PATCH_MIN_AREA:
+        return _track_level_patch(
+            prev_img, next_img, dx, dy, base_pts, guess_pts, cfg, iter_precision
+        )
+    return _track_level_dense(
+        prev_img, next_img, dx, dy, base_pts, guess_pts, cfg, iter_precision
+    )
 
 
 def build_flow_pyramid(img: jnp.ndarray, cfg: LKConfig = LKConfig()):

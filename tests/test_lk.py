@@ -77,3 +77,35 @@ def test_lk_invalid_points_stay_invalid(rng):
     )
     status = np.asarray(status)
     assert status[0] and not status[1]
+
+
+def test_lk_patch_path_matches_dense(rng):
+    """The round-3 patch-cached level (ops/lk.py _track_level_patch) must
+    agree with the dense full-image formulation to subpixel noise."""
+    img = make_textured(rng, h=96, w=128)
+    # smooth warp: translation + slight shear
+    yy, xx = np.mgrid[:96, :128].astype(np.float32)
+    from opencv_tpu.core import imgproc
+
+    map_xy = np.stack([xx - 2.3 - 0.01 * yy, yy + 1.7], axis=-1)
+    moved = np.asarray(imgproc.remap(jnp.asarray(img), jnp.asarray(map_xy)))
+    pts = np.stack(
+        [rng.uniform(25, 100, 40), rng.uniform(25, 70, 40)], 1
+    ).astype(np.float32)
+    cfg = LKConfig(win_size=21, n_levels=1)
+    dxs, dys = lk.imgproc.scharr_derivatives(jnp.asarray(img))
+    gp, me_p, _ = lk._track_level_patch(
+        jnp.asarray(img), jnp.asarray(moved), dxs, dys,
+        jnp.asarray(pts), jnp.asarray(pts), cfg,
+    )
+    gd, me_d, _ = lk._track_level_dense(
+        jnp.asarray(img), jnp.asarray(moved), dxs, dys,
+        jnp.asarray(pts), jnp.asarray(pts), cfg,
+    )
+    gp, gd = np.asarray(gp), np.asarray(gd)
+    ok = np.asarray(me_d) > cfg.min_eig_threshold
+    assert ok.sum() >= 30
+    np.testing.assert_allclose(gp[ok], gd[ok], atol=0.05)
+    np.testing.assert_allclose(
+        np.asarray(me_p)[ok], np.asarray(me_d)[ok], rtol=1e-3
+    )
