@@ -295,3 +295,43 @@ def detection_output(
             )
             rows.append(row)
     return jnp.concatenate(rows, axis=0)
+
+
+def lstm(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    bias: jnp.ndarray | None = None,
+    h0: jnp.ndarray | None = None,
+    c0: jnp.ndarray | None = None,
+):
+    """LSTM over a sequence (reference dnn/src/layers/recurrent_layers.cpp
+    LSTMLayer). x [T, N, D]; w_ih [4H, D], w_hh [4H, H], bias [4H] with
+    gate order (i, f, o, g) like the reference's produceCellOutput
+    weights. Returns (outputs [T, N, H], (h_T, c_T)).
+
+    lax.scan over time — the only sequential axis; each step is fused
+    MXU work.
+    """
+    t, n, d = x.shape
+    hdim = w_hh.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((n, hdim), x.dtype)
+    if c0 is None:
+        c0 = jnp.zeros((n, hdim), x.dtype)
+    b = 0.0 if bias is None else bias
+
+    def step(carry, xt):
+        h, c = carry
+        z = xt @ w_ih.T + h @ w_hh.T + b  # [N, 4H]
+        i, f, o, g = jnp.split(z, 4, axis=1)
+        i = jax.nn.sigmoid(i)
+        f = jax.nn.sigmoid(f)
+        o = jax.nn.sigmoid(o)
+        g = jnp.tanh(g)
+        c = f * c + i * g
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    (h_t, c_t), ys = lax.scan(step, (h0, c0), x)
+    return ys, (h_t, c_t)

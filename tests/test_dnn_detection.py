@@ -267,3 +267,37 @@ def test_darknet_region_net_image_to_boxes_matches_torch():
     assert kept.size >= 1
     bb = dets[kept]
     assert (bb[:, 0] > 0).all() and (bb[:, 0] < 1).all()
+
+
+def test_lstm_matches_torch():
+    """LSTM layer (recurrent_layers.cpp slot) vs torch.nn.LSTM."""
+    rng = np.random.default_rng(3)
+    t_len, n, d, h = 6, 2, 5, 4
+    x = rng.normal(0, 1, (t_len, n, d)).astype(np.float32)
+    w_ih = rng.normal(0, 0.4, (4 * h, d)).astype(np.float32)
+    w_hh = rng.normal(0, 0.4, (4 * h, h)).astype(np.float32)
+    bias = rng.normal(0, 0.1, (4 * h,)).astype(np.float32)
+
+    ys, (hT, cT) = layers.lstm(
+        jnp.asarray(x), jnp.asarray(w_ih), jnp.asarray(w_hh), jnp.asarray(bias)
+    )
+
+    m = torch.nn.LSTM(d, h, bias=True)
+    # ours uses gate order (i,f,o,g) like the reference; torch uses
+    # (i,f,g,o) -> reorder the row blocks when loading torch
+    with torch.no_grad():
+        m.weight_ih_l0.copy_(torch.from_numpy(reorder_inv(w_ih)))
+        m.weight_hh_l0.copy_(torch.from_numpy(reorder_inv(w_hh)))
+        m.bias_ih_l0.copy_(torch.from_numpy(reorder_inv(bias)))
+        m.bias_hh_l0.zero_()
+    gold, (hg, cg) = m(torch.from_numpy(x))
+    np.testing.assert_allclose(np.asarray(ys), gold.detach().numpy(),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(hT), hg[0].detach().numpy(),
+                               rtol=2e-5, atol=2e-6)
+
+
+def reorder_inv(w):
+    """(i,f,o,g) row blocks -> torch's (i,f,g,o)."""
+    i, f, o, g = np.split(w, 4, axis=0)
+    return np.concatenate([i, f, g, o], axis=0)
