@@ -93,6 +93,10 @@ def _sample_at(img, pts, win, precision=_PS):
 
 
 _PATCH = 48  # target-patch edge; slack = (P - win)/2 - 1 px per level
+# Newton steps per while_loop trip: the loop body is latency-bound (many
+# small ops), so 3 masked steps per trip cut per-iteration overhead ~3x
+# with IDENTICAL results (converged points are masked no-ops)
+_UNROLL = 3
 
 
 def _split_hi_lo(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -209,26 +213,44 @@ def _track_level_patch(
 
     g_loc0 = guess_pts - joff
 
-    def body(carry):
-        g_loc, converged = carry
-        delta = newton_step(g_loc, iter_precision)
-        do_update = (ok & ~converged)[:, None]
-        new_g = jnp.where(do_update, clamp_local(g_loc + delta), g_loc)
+    def one_step(g, conv, prev_delta, active, clamp=clamp_local, sel=None):
+        """One Newton update with the reference's BOTH exit rules
+        (lkpyramid.cpp:642-651): eps on |delta|^2 AND the oscillation
+        break (delta ~ -prevDelta -> step back half and stop). The
+        oscillation exit is what keeps sub-pixel-dithering points from
+        burning the whole iteration budget."""
+        delta = newton_step(g, iter_precision, sel=sel)
+        osc = (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01) & (
+            jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01
+        )
+        do_update = (active & ~conv)[:, None]
+        eff = jnp.where(osc[:, None], 0.5 * delta, delta)
+        g = jnp.where(do_update, clamp(g + eff), g)
         step = jnp.sum(delta * delta, axis=-1)
-        converged = converged | (step <= cfg.eps * cfg.eps)
-        return new_g, converged
+        conv = conv | (step <= cfg.eps * cfg.eps) | osc
+        return g, conv, delta
+
+    big0 = jnp.full((n, 2), 1e9, jnp.float32)
+
+    def body(carry):
+        g_loc, converged, prev_d = carry
+        # UNROLL x3: converged points are masked no-ops
+        for _ in range(_UNROLL):
+            g_loc, converged, prev_d = one_step(g_loc, converged, prev_d, ok)
+        return g_loc, converged, prev_d
 
     phase1 = min(10, cfg.max_iters)
+    trips1 = -(-phase1 // _UNROLL)
 
     def loop_cond1(state):
-        i, (_, converged) = state
-        return (i < phase1) & ~jnp.all(converged | ~ok)
+        i, (_, converged, _) = state
+        return (i < trips1) & ~jnp.all(converged | ~ok)
 
     converged0 = jnp.zeros((n,), bool)
-    _, (g_loc, converged) = lax.while_loop(
+    _, (g_loc, converged, _) = lax.while_loop(
         loop_cond1,
         lambda s: (s[0] + 1, body(s[1])),
-        (jnp.int32(0), (clamp_local(g_loc0), converged0)),
+        (jnp.int32(0), (clamp_local(g_loc0), converged0, big0)),
     )
 
     # straggler compaction (see dense path): finish only the unconverged
@@ -237,21 +259,23 @@ def _track_level_patch(
     sel, keep = masked_top_k(live.astype(jnp.float32), live, cap)
 
     def body_sub(carry):
-        g_sub, conv_sub = carry
-        delta = newton_step(g_sub, iter_precision, sel=sel)
-        do_update = (keep & ~conv_sub)[:, None]
-        g_new = jnp.where(do_update, clamp_local(g_sub + delta), g_sub)
-        step = jnp.sum(delta * delta, axis=-1)
-        return g_new, conv_sub | (step <= cfg.eps * cfg.eps)
+        g_sub, conv_sub, prev_d = carry
+        for _ in range(_UNROLL):
+            g_sub, conv_sub, prev_d = one_step(
+                g_sub, conv_sub, prev_d, keep, sel=sel
+            )
+        return g_sub, conv_sub, prev_d
+
+    trips2 = -(-(cfg.max_iters - phase1) // _UNROLL)
 
     def cond_sub(state):
-        i, (_, conv_sub) = state
-        return (i < cfg.max_iters - phase1) & ~jnp.all(conv_sub | ~keep)
+        i, (_, conv_sub, _) = state
+        return (i < trips2) & ~jnp.all(conv_sub | ~keep)
 
-    _, (g_sub, _) = lax.while_loop(
+    _, (g_sub, _, _) = lax.while_loop(
         cond_sub,
         lambda s: (s[0] + 1, body_sub(s[1])),
-        (jnp.int32(0), (g_loc[sel], ~live[sel] | ~keep)),
+        (jnp.int32(0), (g_loc[sel], ~live[sel] | ~keep, big0[:cap])),
     )
     g_loc = g_loc.at[sel].set(jnp.where(keep[:, None], g_sub, g_loc[sel]))
 
@@ -317,34 +341,54 @@ def _track_level_dense(
         d_y = (gxx * by - gxy * bx) / safe_det
         return jnp.stack([d_x, d_y], axis=-1)
 
-    def body(carry):
-        guess, converged = carry
-        delta = newton_step(guess, iter_precision)
-        do_update = (ok & ~converged)[:, None]
-        new_guess = jnp.where(do_update, guess + delta, guess)
+    def one_step(g, conv, prev_delta, active, sel=None):
+        """Newton update with the reference's eps AND oscillation exits
+        (lkpyramid.cpp:642-651) — see the patch path's note."""
+        if sel is None:
+            delta = newton_step(g, iter_precision)
+        else:
+            jw = _sample_at(next_img, g, win, iter_precision)
+            diff = iw[sel] - jw
+            bx = jnp.sum(diff * ix[sel], axis=(1, 2))
+            by = jnp.sum(diff * iy[sel], axis=(1, 2))
+            delta = jnp.stack(
+                [(gyy[sel] * bx - gxy[sel] * by) / safe_det[sel],
+                 (gxx[sel] * by - gxy[sel] * bx) / safe_det[sel]], axis=-1,
+            )
+        osc = (jnp.abs(delta[:, 0] + prev_delta[:, 0]) < 0.01) & (
+            jnp.abs(delta[:, 1] + prev_delta[:, 1]) < 0.01
+        )
+        do_update = (active & ~conv)[:, None]
+        eff = jnp.where(osc[:, None], 0.5 * delta, delta)
+        g = jnp.where(do_update, g + eff, g)
         step = jnp.sum(delta * delta, axis=-1)
-        converged = converged | (step <= cfg.eps * cfg.eps)
-        return new_guess, converged
+        conv = conv | (step <= cfg.eps * cfg.eps) | osc
+        return g, conv, delta
+
+    big0 = jnp.full((n, 2), 1e9, jnp.float32)
+
+    def body(carry):
+        guess, converged, prev_d = carry
+        for _ in range(_UNROLL):  # see _UNROLL note
+            guess, converged, prev_d = one_step(guess, converged, prev_d, ok)
+        return guess, converged, prev_d
 
     # whole-batch early exit: per-point exits are masked updates; once
     # every live point has converged the rest of the budget is waste
-    def loop_cond(state):
-        i, (_, converged) = state
-        return (i < cfg.max_iters) & ~jnp.all(converged | ~ok)
-
     def loop_body(state):
         i, carry = state
         return i + 1, body(carry)
 
     converged0 = jnp.zeros((n,), bool)
     phase1 = min(10, cfg.max_iters)
+    trips1 = -(-phase1 // _UNROLL)
 
     def loop_cond1(state):
-        i, (_, converged) = state
-        return (i < phase1) & ~jnp.all(converged | ~ok)
+        i, (_, converged, _) = state
+        return (i < trips1) & ~jnp.all(converged | ~ok)
 
-    _, (guess, converged) = lax.while_loop(
-        loop_cond1, loop_body, (jnp.int32(0), (guess_pts, converged0))
+    _, (guess, converged, _) = lax.while_loop(
+        loop_cond1, loop_body, (jnp.int32(0), (guess_pts, converged0, big0))
     )
 
     # STRAGGLER COMPACTION: on real video most points converge within
@@ -358,29 +402,25 @@ def _track_level_dense(
     sel, keep = masked_top_k(live.astype(jnp.float32), live, cap)
 
     def body_sub(carry):
-        g_sub, conv_sub = carry
-        jw = _sample_at(next_img, g_sub, win, iter_precision)
-        diff = iw[sel] - jw
-        bx = jnp.sum(diff * ix[sel], axis=(1, 2))
-        by = jnp.sum(diff * iy[sel], axis=(1, 2))
-        d_x = (gyy[sel] * bx - gxy[sel] * by) / safe_det[sel]
-        d_y = (gxx[sel] * by - gxy[sel] * bx) / safe_det[sel]
-        delta = jnp.stack([d_x, d_y], axis=-1)
-        do_update = (keep & ~conv_sub)[:, None]
-        g_new = jnp.where(do_update, g_sub + delta, g_sub)
-        step = jnp.sum(delta * delta, axis=-1)
-        return g_new, conv_sub | (step <= cfg.eps * cfg.eps)
+        g_sub, conv_sub, prev_d = carry
+        for _ in range(_UNROLL):  # see _UNROLL note
+            g_sub, conv_sub, prev_d = one_step(
+                g_sub, conv_sub, prev_d, keep, sel=sel
+            )
+        return g_sub, conv_sub, prev_d
+
+    trips2 = -(-(cfg.max_iters - phase1) // _UNROLL)
 
     def cond_sub(state):
-        i, (_, conv_sub) = state
-        return (i < cfg.max_iters - phase1) & ~jnp.all(conv_sub | ~keep)
+        i, (_, conv_sub, _) = state
+        return (i < trips2) & ~jnp.all(conv_sub | ~keep)
 
     g_sub0 = guess[sel]
     conv_sub0 = ~live[sel] | ~keep
-    _, (g_sub, _) = lax.while_loop(
+    _, (g_sub, _, _) = lax.while_loop(
         cond_sub,
         lambda s: (s[0] + 1, body_sub(s[1])),
-        (jnp.int32(0), (g_sub0, conv_sub0)),
+        (jnp.int32(0), (g_sub0, conv_sub0, big0[:cap])),
     )
     # points beyond the straggler capacity keep their phase-1 estimate
     guess = guess.at[sel].set(jnp.where(keep[:, None], g_sub, guess[sel]))
