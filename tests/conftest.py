@@ -68,3 +68,12 @@ def _clear_jax_caches_per_module():
 # ("Fatal Python error: Aborted" in compilation_cache.get_executable_and_time)
 # once entries written earlier in the run are re-read — it killed two
 # full-suite runs ~35 min in before the cause was isolated.
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute end-to-end runs (engine sequences, renders, "
+        "2-process tests). Fast lane: pytest -m 'not slow' (~15 min); "
+        "full suite (CI/driver): pytest tests/ (~35 min).",
+    )

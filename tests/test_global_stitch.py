@@ -61,6 +61,7 @@ def test_dp_seam_follows_low_cost_column():
     assert np.abs(seam - col).max() <= 1
 
 
+@pytest.mark.slow
 def test_estimate_panorama_recovers_geometry(rng):
     yaws = [-0.35, 0.0, 0.35]
     views, Rs = _views(rng, yaws)

@@ -16,6 +16,7 @@ import subprocess
 import sys
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -118,6 +119,7 @@ print(f"WORKER_OK {pid}", flush=True)
 """
 
 
+@pytest.mark.slow
 def test_real_two_process_ba(tmp_path):
     """Launch 2 actual processes, Gloo collectives over localhost."""
     script = tmp_path / "mh_worker.py"

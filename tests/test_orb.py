@@ -3,6 +3,7 @@ detect_and_compute (mirrors features2d/test/test_detectors_invariance.cpp
 and test_descriptors_invariance.cpp strategy)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opencv_tpu.core import imgproc
@@ -111,6 +112,7 @@ def test_descriptor_rotation_invariance(rng):
     assert (dist.argmin(axis=1) == np.arange(3)).all()
 
 
+@pytest.mark.slow
 def test_detect_and_compute_end_to_end(rng):
     img = make_textured(rng, 160, 200)
     cfg = ORBConfig(n_features=200, n_levels=4)

@@ -20,6 +20,7 @@ def test_mesh_has_8_devices():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_ba_matches_single_device(rng):
     prob, rvecs, tvecs, pts = make_ba_problem(rng, n_cams=4, n_pts=64)
     # pad observations to a multiple of 8

@@ -1,6 +1,7 @@
 """photo (NLM, inpaint, exposure fusion) and videostab tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -53,6 +54,7 @@ def test_merge_mertens_prefers_well_exposed():
     assert abs(fused[mid].mean() - base[mid].mean() / 255.0) < 0.15
 
 
+@pytest.mark.slow
 def test_videostab_reduces_jitter(rng):
     # smooth texture translated by a jittery trajectory
     base = rng.uniform(0, 255, size=(80, 100)).astype(np.float32)

@@ -1,6 +1,7 @@
 """Stitching (warpers, blending, pair stitcher) and BTV-L1 superres."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from opencv_tpu.core import imgproc
@@ -40,6 +41,7 @@ def test_feather_blend_smooth_seam():
     assert (np.diff(seam) >= -1e-3).all()
 
 
+@pytest.mark.slow
 def test_stitch_pair_translation():
     rng = np.random.default_rng(1234)  # deterministic scene
     scene = textured(rng, 140, 300)

@@ -79,6 +79,7 @@ def synthetic_sequence():
     return frames, np.asarray(centers), poses
 
 
+@pytest.mark.slow
 def test_vo_synthetic_sequence(synthetic_sequence):
     frames, gt_centers, _ = synthetic_sequence
     cfg = VOConfig(
@@ -110,6 +111,7 @@ def test_umeyama_alignment_exact(rng):
     assert ate_rmse(src, dst) < 1e-6
 
 
+@pytest.mark.slow
 def test_vo_near_planar_scene():
     """Near-planar terrain: the E-only bootstrap failed here (planar
     degeneracy); the H/E model selection must keep the trajectory sane."""

@@ -10,6 +10,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from opencv_tpu.core.config import ORBConfig
 from opencv_tpu.geometry.rotation import rodrigues
 from opencv_tpu.slam.vo import VisualOdometry, VOConfig

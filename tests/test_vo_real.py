@@ -15,6 +15,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from opencv_tpu.core.config import ORBConfig
 from opencv_tpu.slam.vo import VisualOdometry, VOConfig
 from opencv_tpu.utils.evaluate import ate_rmse

@@ -57,6 +57,7 @@ def test_own_decoder_provides_real_frames(clip_frames):
 
 @needs_clip
 @pytest.mark.parametrize("tracker", ["orb", "klt"])
+@pytest.mark.slow
 def test_engine_on_real_video_refuses_parallax_free_bootstrap(
     clip_frames, tracker
 ):
