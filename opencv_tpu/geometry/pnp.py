@@ -101,6 +101,78 @@ def gn_refine_pose(
     return params[:3], params[3:]
 
 
+def refine_pose_vvs(
+    rvec: jnp.ndarray,
+    tvec: jnp.ndarray,
+    obj_pts: jnp.ndarray,
+    img_pts: jnp.ndarray,
+    weights: jnp.ndarray | None = None,
+    iters: int = 20,
+    vvs_lambda: float = 1.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """solvePnPRefineVVS analog (solvepnp.cpp:679-717): virtual visual
+    servoing. Each iteration stacks the 2x6 point-feature interaction
+    matrix L (Chaumette/Hutchinson form, solvepnp.cpp:529-566), takes the
+    damped pseudo-inverse step dq = -lambda L^+ (s - s*), and composes the
+    pose with the INVERSE SE(3) exponential of the twist
+    (solvepnp.cpp:576-625, Eade's V-matrix closed form).
+
+    img_pts are normalized (undistorted) coordinates, matching the
+    reference's undistortPoints preprocessing. weights: [N] (0 masks).
+    """
+    from opencv_tpu.geometry.rotation import hat, rodrigues_inv
+
+    n = obj_pts.shape[0]
+    w = jnp.ones((n,)) if weights is None else weights
+    sd = img_pts  # desired features s*
+
+    def exp_se3_inv(twist):
+        u, om = twist[:3], twist[3:]
+        th2 = jnp.dot(om, om)
+        th = jnp.sqrt(th2)
+        small = th < 1e-8
+        ths = jnp.where(small, 1.0, th)
+        A = jnp.where(small, 1.0, jnp.sin(ths) / ths)
+        B = jnp.where(small, 0.5, (1.0 - jnp.cos(ths)) / (ths * ths))
+        C = jnp.where(small, 1.0 / 6.0, (1.0 - A) / (ths * ths))
+        W = hat(om)
+        R = jnp.eye(3) + A * W + B * (W @ W)
+        V = jnp.eye(3) + B * W + C * (W @ W)
+        R1 = R.T
+        t1 = -R1 @ (V @ u)
+        return R1, t1
+
+    def body(_, state):
+        R, t = state
+        pc = obj_pts @ R.T + t  # [N,3]
+        Z = jnp.where(jnp.abs(pc[:, 2]) < 1e-9, 1e-9, pc[:, 2])
+        x = pc[:, 0] / Z
+        y = pc[:, 1] / Z
+        iz = 1.0 / Z
+        zero = jnp.zeros_like(x)
+        Lx = jnp.stack(
+            [-iz, zero, x * iz, x * y, -(1.0 + x * x), y], axis=-1
+        )
+        Ly = jnp.stack(
+            [zero, -iz, y * iz, 1.0 + y * y, -x * y, -x], axis=-1
+        )
+        L = jnp.stack([Lx, Ly], axis=1).reshape(2 * n, 6) * jnp.repeat(
+            w, 2
+        )[:, None]
+        err = (jnp.stack([x, y], axis=-1) - sd) * w[:, None]
+        e = err.reshape(-1)
+        # damped pseudo-inverse step via normal equations
+        H = jnp.einsum("ni,nj->ij", L, L, precision=_P32)
+        H = H + 1e-12 * jnp.eye(6)
+        dq = -vvs_lambda * jnp.linalg.solve(H, L.T @ e)
+        R1, t1 = exp_se3_inv(dq)
+        return R1 @ R, R1 @ t + t1
+
+    R0 = rodrigues(rvec)
+    R, t = lax.fori_loop(0, iters, body, (R0, tvec))
+    return rodrigues_inv(R), t
+
+
 class PnPResult(NamedTuple):
     rvec: jnp.ndarray
     tvec: jnp.ndarray
