@@ -54,7 +54,7 @@ def _attrs(node_fields) -> dict:
         if 2 in a:
             out[name] = struct.unpack("<f", a[2][-1])[0]
         elif 3 in a:
-            out[name] = a[3][-1]
+            out[name] = proto.get_int(a, 3)
         elif 4 in a:
             out[name] = a[4][-1]
         elif 5 in a:
@@ -136,7 +136,13 @@ def load_onnx(path_or_bytes) -> Net:
             weight = w(1)
             bias = w(2) if len(ins) > 2 else None
             trans_b = int(at.get("transB", 0))
+            alpha = float(at.get("alpha", 1.0))
+            beta = float(at.get("beta", 1.0))
             wmat = weight if trans_b else weight.T
+            if alpha != 1.0:
+                wmat = wmat * alpha
+            if bias is not None and beta != 1.0:
+                bias = bias * beta
             net.add_layer(
                 out_name,
                 (lambda wmat=wmat, bias=bias: lambda x: layers.fully_connected(
@@ -257,9 +263,384 @@ def load_onnx(path_or_bytes) -> Net:
             )
         elif op in ("Identity", "Dropout"):
             net.add_layer(out_name, lambda x: x, [ins[0]])
+        elif op in _UNARY:
+            net.add_layer(out_name, _UNARY[op], [ins[0]])
+        elif op == "Softplus":
+            net.add_layer(out_name, lambda x: jnp.logaddexp(0.0, x), [ins[0]])
+        elif op == "Elu":
+            alpha = float(at.get("alpha", 1.0))
+            net.add_layer(
+                out_name,
+                (lambda alpha=alpha: lambda x: jnp.where(
+                    x > 0, x, alpha * (jnp.exp(x) - 1.0)
+                ))(),
+                [ins[0]],
+            )
+        elif op == "PRelu":
+            slope = w(1)
+            # torch exports [C] or [C,1,1]; broadcast against NCHW
+            net.add_layer(
+                out_name,
+                (lambda slope=slope: lambda x: jnp.where(
+                    x > 0, x,
+                    x * slope.reshape(
+                        (1, -1) + (1,) * max(0, x.ndim - 2)
+                    ) if slope.size > 1 else x * slope.reshape(())
+                ))(),
+                [ins[0]],
+            )
+        elif op == "HardSigmoid":
+            alpha = float(at.get("alpha", 0.2))
+            beta = float(at.get("beta", 0.5))
+            net.add_layer(
+                out_name,
+                (lambda alpha=alpha, beta=beta:
+                 lambda x: jnp.clip(alpha * x + beta, 0.0, 1.0))(),
+                [ins[0]],
+            )
+        elif op == "HardSwish":
+            net.add_layer(
+                out_name,
+                lambda x: x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0),
+                [ins[0]],
+            )
+        elif op == "Cast":
+            to = _F[int(at.get("to", 1))]
+            net.add_layer(
+                out_name, (lambda to=to: lambda x: x.astype(to))(), [ins[0]]
+            )
+        elif op == "Pow":
+            if len(ins) > 1 and ins[1] in consts:
+                e = jnp.asarray(consts[ins[1]])
+                net.add_layer(
+                    out_name, (lambda e=e: lambda x: x**e)(), [ins[0]]
+                )
+            else:
+                net.add_layer(out_name, jnp.power, [ins[0], ins[1]])
+        elif op in ("Min", "Max"):
+            fn = jnp.minimum if op == "Min" else jnp.maximum
+            live = [nm for nm in ins if nm not in consts]
+            cvals = [jnp.asarray(consts[nm]) for nm in ins if nm in consts]
+            net.add_layer(
+                out_name,
+                (lambda fn=fn, cvals=cvals: lambda *xs: _variadic(
+                    fn, list(xs) + cvals
+                ))(),
+                live,
+            )
+        elif op == "Where":
+            net.add_layer(out_name, jnp.where, [ins[0], ins[1], ins[2]])
+        elif op == "Slice":
+            if len(ins) > 1:  # opset >= 10: starts/ends/axes/steps inputs
+                starts = [int(v) for v in np.atleast_1d(consts[ins[1]])]
+                ends = [int(v) for v in np.atleast_1d(consts[ins[2]])]
+                axes = (
+                    [int(v) for v in np.atleast_1d(consts[ins[3]])]
+                    if len(ins) > 3 and ins[3]
+                    else list(range(len(starts)))
+                )
+                steps = (
+                    [int(v) for v in np.atleast_1d(consts[ins[4]])]
+                    if len(ins) > 4 and ins[4]
+                    else [1] * len(starts)
+                )
+            else:  # opset 1: attributes
+                starts = [int(v) for v in at["starts"]]
+                ends = [int(v) for v in at["ends"]]
+                axes = [int(v) for v in at.get("axes", range(len(starts)))]
+                steps = [1] * len(starts)
+            net.add_layer(
+                out_name,
+                (lambda starts=starts, ends=ends, axes=axes, steps=steps:
+                 lambda x: _slice(x, starts, ends, axes, steps))(),
+                [ins[0]],
+            )
+        elif op == "Split":
+            axis = int(at.get("axis", 0))
+            if "split" in at:
+                sizes = [int(v) for v in at["split"]]
+            elif len(ins) > 1 and ins[1] in consts:
+                sizes = [int(v) for v in np.atleast_1d(consts[ins[1]])]
+            else:
+                sizes = None  # equal split over len(outs)
+            # one layer per output: each slices its own chunk (XLA fuses)
+            for oi, onm in enumerate(outs):
+                net.add_layer(
+                    onm,
+                    (lambda oi=oi, axis=axis, sizes=sizes, nout=len(outs):
+                     lambda x: _split_chunk(x, oi, axis, sizes, nout))(),
+                    [ins[0]],
+                )
+        elif op in ("Squeeze", "Unsqueeze"):
+            if "axes" in at:
+                axes = [int(v) for v in at["axes"]]
+            elif len(ins) > 1 and ins[1] in consts:
+                axes = [int(v) for v in np.atleast_1d(consts[ins[1]])]
+            else:
+                axes = None
+            sq = op == "Squeeze"
+            net.add_layer(
+                out_name,
+                (lambda axes=axes, sq=sq: lambda x: (
+                    jnp.squeeze(x, axis=tuple(axes) if axes else None)
+                    if sq
+                    else jnp.expand_dims(x, tuple(axes))
+                ))(),
+                [ins[0]],
+            )
+        elif op == "Expand":
+            shape = tuple(int(v) for v in np.atleast_1d(consts[ins[1]]))
+            net.add_layer(
+                out_name,
+                (lambda shape=shape: lambda x: jnp.broadcast_to(
+                    x, np.broadcast_shapes(x.shape, shape)
+                ))(),
+                [ins[0]],
+            )
+        elif op == "Gather":
+            axis = int(at.get("axis", 0))
+            if ins[1] in consts:
+                idx = jnp.asarray(consts[ins[1]])
+                net.add_layer(
+                    out_name,
+                    (lambda idx=idx, axis=axis:
+                     lambda x: jnp.take(x, idx, axis=axis))(),
+                    [ins[0]],
+                )
+            else:
+                net.add_layer(
+                    out_name,
+                    (lambda axis=axis: lambda x, i: jnp.take(
+                        x, i.astype(jnp.int32), axis=axis
+                    ))(),
+                    [ins[0], ins[1]],
+                )
+        elif op == "Pad":
+            mode = at.get("mode", b"constant").decode()
+            if len(ins) > 1:  # opset >= 11
+                pads = [int(v) for v in np.atleast_1d(consts[ins[1]])]
+                cval = (
+                    float(np.atleast_1d(consts[ins[2]])[0])
+                    if len(ins) > 2 and ins[2] in consts
+                    else 0.0
+                )
+            else:
+                pads = [int(v) for v in at["pads"]]
+                cval = float(at.get("value", 0.0))
+            jmode = {"constant": "constant", "reflect": "reflect",
+                     "edge": "edge"}[mode]
+            net.add_layer(
+                out_name,
+                (lambda pads=pads, cval=cval, jmode=jmode: lambda x: jnp.pad(
+                    x,
+                    [(pads[i], pads[i + x.ndim]) for i in range(x.ndim)],
+                    mode=jmode,
+                    **({"constant_values": cval} if jmode == "constant"
+                       else {}),
+                ))(),
+                [ins[0]],
+            )
+        elif op in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin"):
+            fn = {"ReduceMean": jnp.mean, "ReduceSum": jnp.sum,
+                  "ReduceMax": jnp.max, "ReduceMin": jnp.min}[op]
+            if "axes" in at and at["axes"]:
+                axes = tuple(int(v) for v in at["axes"])
+            elif len(ins) > 1 and ins[1] in consts:
+                axes = tuple(int(v) for v in np.atleast_1d(consts[ins[1]]))
+            else:
+                axes = None
+            keep = bool(at.get("keepdims", 1))
+            net.add_layer(
+                out_name,
+                (lambda fn=fn, axes=axes, keep=keep:
+                 lambda x: fn(x, axis=axes, keepdims=keep))(),
+                [ins[0]],
+            )
+        elif op == "GlobalMaxPool":
+            net.add_layer(
+                out_name, lambda x: jnp.max(x, axis=(2, 3), keepdims=True),
+                [ins[0]],
+            )
+        elif op == "InstanceNormalization":
+            scale, bias = w(1), w(2)
+            eps = float(at.get("epsilon", 1e-5))
+            net.add_layer(
+                out_name,
+                (lambda scale=scale, bias=bias, eps=eps: lambda x: (
+                    (x - jnp.mean(x, axis=(2, 3), keepdims=True))
+                    / jnp.sqrt(jnp.var(x, axis=(2, 3), keepdims=True) + eps)
+                    * scale[None, :, None, None]
+                    + bias[None, :, None, None]
+                ))(),
+                [ins[0]],
+            )
+        elif op == "LRN":
+            alpha = float(at.get("alpha", 1e-4))
+            beta = float(at.get("beta", 0.75))
+            bias = float(at.get("bias", 1.0))
+            size = int(at["size"])
+            net.add_layer(
+                out_name,
+                (lambda alpha=alpha, beta=beta, bias=bias, size=size:
+                 lambda x: _lrn(x, size, alpha, beta, bias))(),
+                [ins[0]],
+            )
+        elif op == "ConvTranspose":
+            stride = tuple(int(s) for s in at.get("strides", [1, 1]))
+            pads = at.get("pads", [0, 0, 0, 0])
+            out_pad = at.get("output_padding", [0, 0])
+            groups = int(at.get("group", 1))
+            weight = w(1)
+            bias = w(2) if len(ins) > 2 else None
+            net.add_layer(
+                out_name,
+                (lambda weight=weight, bias=bias, stride=stride, pads=pads,
+                        out_pad=out_pad, groups=groups:
+                 lambda x: _conv_transpose(
+                     x, weight, bias, stride, pads, out_pad, groups
+                 ))(),
+                [ins[0]],
+            )
+        elif op in ("Resize", "Upsample"):
+            mode = at.get("mode", b"nearest").decode()
+            coord = at.get(
+                "coordinate_transformation_mode", b"half_pixel"
+            ).decode()
+            if op == "Upsample" or (len(ins) > 2 and ins[2] in consts
+                                    and np.asarray(consts[ins[2]]).size):
+                sc_name = ins[1] if op == "Upsample" else ins[2]
+                scales = [float(v) for v in np.atleast_1d(consts[sc_name])]
+                sizes = None
+            else:
+                scales = None
+                sizes = [int(v) for v in np.atleast_1d(consts[ins[3]])]
+            net.add_layer(
+                out_name,
+                (lambda scales=scales, sizes=sizes, mode=mode, coord=coord:
+                 lambda x: _resize(x, scales, sizes, mode, coord))(),
+                [ins[0]],
+            )
         else:
             raise NotImplementedError(f"ONNX op {op!r} not supported")
     return net
+
+
+_UNARY = {
+    "Exp": jnp.exp,
+    "Log": jnp.log,
+    "Neg": jnp.negative,
+    "Abs": jnp.abs,
+    "Sqrt": jnp.sqrt,
+    "Floor": jnp.floor,
+    "Ceil": jnp.ceil,
+    "Reciprocal": lambda x: 1.0 / x,
+    "Erf": lambda x: _erf(x),
+    "Sin": jnp.sin,
+    "Cos": jnp.cos,
+}
+
+
+def _erf(x):
+    from jax import lax as _lax
+
+    return _lax.erf(x)
+
+
+def _variadic(fn, xs):
+    out = xs[0]
+    for x in xs[1:]:
+        out = fn(out, x)
+    return out
+
+
+def _slice(x, starts, ends, axes, steps):
+    sl = [slice(None)] * x.ndim
+    big = 1 << 40
+    for s, e, a, st in zip(starts, ends, axes, steps):
+        e = None if e >= big or e == 9223372036854775807 else e
+        sl[a] = slice(s, e, st)
+    return x[tuple(sl)]
+
+
+def _split_chunk(x, oi, axis, sizes, nout):
+    if sizes is None:
+        sizes = [x.shape[axis] // nout] * nout
+    start = int(np.sum(sizes[:oi]))
+    sl = [slice(None)] * x.ndim
+    sl[axis] = slice(start, start + sizes[oi])
+    return x[tuple(sl)]
+
+
+def _lrn(x, size, alpha, beta, bias):
+    """Across-channel local response normalization (NCHW)."""
+    sq = x * x
+    half = size // 2
+    pad = jnp.pad(sq, ((0, 0), (half, size - 1 - half), (0, 0), (0, 0)))
+    den = jnp.zeros_like(x)
+    for i in range(size):
+        den = den + pad[:, i : i + x.shape[1]]
+    return x / (bias + (alpha / size) * den) ** beta
+
+
+def _conv_transpose(x, weight, bias, stride, pads, out_pad, groups):
+    """ONNX/torch ConvTranspose2d as a forward conv with lhs dilation.
+
+    weight [Cin, Cout/g, kH, kW] -> grouped OIHW with spatial flip; the
+    forward padding is (k - 1 - pad) per edge plus output_padding on the
+    trailing edge.
+    """
+    from jax import lax as _lax
+
+    cin, cog, kh, kw = weight.shape
+    wg = weight.reshape(groups, cin // groups, cog, kh, kw)
+    wg = jnp.transpose(wg, (0, 2, 1, 3, 4)).reshape(
+        groups * cog, cin // groups, kh, kw
+    )
+    wg = wg[:, :, ::-1, ::-1]
+    pad_h = (kh - 1 - int(pads[0]), kh - 1 - int(pads[2]) + int(out_pad[0]))
+    pad_w = (kw - 1 - int(pads[1]), kw - 1 - int(pads[3]) + int(out_pad[1]))
+    out = _lax.conv_general_dilated(
+        x,
+        wg,
+        window_strides=(1, 1),
+        padding=(pad_h, pad_w),
+        lhs_dilation=stride,
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias[None, :, None, None]
+    return out
+
+
+def _resize(x, scales, sizes, mode, coord):
+    """ONNX Resize on NCHW: nearest (asymmetric floor, the torch Upsample
+    export) or linear (half-pixel, the align_corners=False export)."""
+    h, w = x.shape[2], x.shape[3]
+    if sizes is not None:
+        oh, ow = int(sizes[2]), int(sizes[3])
+    else:
+        oh, ow = int(round(h * scales[2])), int(round(w * scales[3]))
+    if mode == "nearest":
+        iy = jnp.clip(
+            jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32), 0, h - 1
+        )
+        ix = jnp.clip(
+            jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32), 0, w - 1
+        )
+        if coord == "align_corners" and oh > 1 and ow > 1:
+            iy = jnp.round(
+                jnp.arange(oh) * ((h - 1) / (oh - 1))
+            ).astype(jnp.int32)
+            ix = jnp.round(
+                jnp.arange(ow) * ((w - 1) / (ow - 1))
+            ).astype(jnp.int32)
+        return x[:, :, iy[:, None], ix[None, :]]
+    import jax
+
+    return jax.image.resize(
+        x, x.shape[:2] + (oh, ow), method="bilinear"
+    ).astype(x.dtype)
 
 
 def _pool(x, k, stride, pad, mode):

@@ -62,9 +62,16 @@ def parse(buf: bytes) -> dict[int, list]:
 
 # -- typed accessors ------------------------------------------------------
 
+def _signed64(x: int) -> int:
+    """Varint payload -> signed int64 (two's complement). All int fields
+    in the importer schemas are int32/int64; e.g. ONNX axis: -1 arrives
+    as 2^64 - 1 on the wire."""
+    return x - (1 << 64) if x >= (1 << 63) else x
+
+
 def get_int(fields, num, default=None):
     v = fields.get(num)
-    return v[-1] if v else default
+    return _signed64(v[-1]) if v else default
 
 
 def get_ints(fields, num):
@@ -72,12 +79,12 @@ def get_ints(fields, num):
     out = []
     for v in fields.get(num, []):
         if isinstance(v, int):
-            out.append(v)
+            out.append(_signed64(v))
         else:  # packed
             pos = 0
             while pos < len(v):
                 x, pos = read_varint(v, pos)
-                out.append(x)
+                out.append(_signed64(x))
     return out
 
 
@@ -120,6 +127,10 @@ def get_messages(fields, num):
 # -- writer (fixtures / round-trip tests) --------------------------------
 
 def write_varint(x: int) -> bytes:
+    # negative ints are encoded as their 64-bit two's complement
+    # (10-byte varint), per the protobuf spec — e.g. axis: -1 in ONNX
+    if x < 0:
+        x &= (1 << 64) - 1
     out = bytearray()
     while True:
         b = x & 0x7F
