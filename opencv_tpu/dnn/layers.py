@@ -335,3 +335,44 @@ def lstm(
 
     (h_t, c_t), ys = lax.scan(step, (h0, c0), x)
     return ys, (h_t, c_t)
+
+
+def gru(
+    x: jnp.ndarray,
+    w_ih: jnp.ndarray,
+    w_hh: jnp.ndarray,
+    bias_ih: jnp.ndarray | None = None,
+    bias_hh: jnp.ndarray | None = None,
+    h0: jnp.ndarray | None = None,
+    linear_before_reset: bool = True,
+):
+    """GRU over a sequence (reference dnn/src/layers/recurrent_layers.cpp
+    GRULayer slot; ONNX GRU operator semantics). x [T, N, D]; w_ih
+    [3H, D], w_hh [3H, H] in ONNX gate order (z, r, h); separate input /
+    recurrence biases [3H] because linear_before_reset=1 (the torch
+    export) applies the recurrence bias INSIDE the reset gate product.
+    Returns (outputs [T, N, H], h_T). lax.scan over the one sequential
+    axis; each step is fused MXU work."""
+    t, n, d = x.shape
+    hdim = w_hh.shape[1]
+    if h0 is None:
+        h0 = jnp.zeros((n, hdim), x.dtype)
+    bi = jnp.zeros((3 * hdim,), x.dtype) if bias_ih is None else bias_ih
+    bh = jnp.zeros((3 * hdim,), x.dtype) if bias_hh is None else bias_hh
+    bi_z, bi_r, bi_h = jnp.split(bi, 3)
+    bh_z, bh_r, bh_h = jnp.split(bh, 3)
+    w_z, w_r, w_h = jnp.split(w_ih, 3, axis=0)
+    r_z, r_r, r_h = jnp.split(w_hh, 3, axis=0)
+
+    def step(h, xt):
+        z = jax.nn.sigmoid(xt @ w_z.T + h @ r_z.T + bi_z + bh_z)
+        r = jax.nn.sigmoid(xt @ w_r.T + h @ r_r.T + bi_r + bh_r)
+        if linear_before_reset:
+            hh = jnp.tanh(xt @ w_h.T + bi_h + r * (h @ r_h.T + bh_h))
+        else:
+            hh = jnp.tanh(xt @ w_h.T + bi_h + (r * h) @ r_h.T + bh_h)
+        h = (1.0 - z) * hh + z * h
+        return h, h
+
+    h_t, ys = lax.scan(step, h0, x)
+    return ys, h_t

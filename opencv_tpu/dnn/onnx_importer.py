@@ -520,9 +520,80 @@ def load_onnx(path_or_bytes) -> Net:
                  lambda x: _resize(x, scales, sizes, mode, coord))(),
                 [ins[0]],
             )
+        elif op in ("LSTM", "GRU"):
+            direction = at.get("direction", b"forward").decode()
+            ndir = 2 if direction == "bidirectional" else 1
+            W = np.asarray(consts[ins[1]])  # [ndir, G*H, D]
+            Rm = np.asarray(consts[ins[2]])  # [ndir, G*H, H]
+            B = (
+                np.asarray(consts[ins[3]])
+                if len(ins) > 3 and ins[3] in consts
+                else None
+            )
+            hidden = int(at.get("hidden_size", Rm.shape[2]))
+            is_lstm = op == "LSTM"
+
+            lbr = bool(at.get("linear_before_reset", 0))
+
+            def rnn_run(x, W=W, Rm=Rm, B=B, hidden=hidden, ndir=ndir,
+                        direction=direction, is_lstm=is_lstm, lbr=lbr):
+                # x [T, N, D] (ONNX layout)
+                ys_dirs, h_dirs, c_dirs = [], [], []
+                for d in range(ndir):
+                    rev = direction == "reverse" or d == 1
+                    xs = x[::-1] if rev else x
+                    if is_lstm:
+                        # ONNX gate order (i, o, f, c) -> layers.lstm
+                        # order (i, f, o, g)
+                        perm = _gate_perm(hidden, [0, 2, 1, 3])
+                        wi = jnp.asarray(W[d][perm])
+                        wh = jnp.asarray(Rm[d][perm])
+                        b = (
+                            jnp.asarray(B[d][:4 * hidden][perm]
+                                        + B[d][4 * hidden:][perm])
+                            if B is not None
+                            else None
+                        )
+                        ys, (h_t, c_t) = layers.lstm(xs, wi, wh, b)
+                        c_dirs.append(c_t)
+                    else:
+                        wi = jnp.asarray(W[d])
+                        wh = jnp.asarray(Rm[d])
+                        bi = (
+                            jnp.asarray(B[d][:3 * hidden])
+                            if B is not None else None
+                        )
+                        bh = (
+                            jnp.asarray(B[d][3 * hidden:])
+                            if B is not None else None
+                        )
+                        ys, h_t = layers.gru(
+                            xs, wi, wh, bi, bh, linear_before_reset=lbr
+                        )
+                    ys_dirs.append(ys[::-1] if rev else ys)
+                    h_dirs.append(h_t)
+                Y = jnp.stack(ys_dirs, axis=1)  # [T, ndir, N, H]
+                Yh = jnp.stack(h_dirs, axis=0)  # [ndir, N, H]
+                Yc = jnp.stack(c_dirs, axis=0) if is_lstm else None
+                return Y, Yh, Yc
+
+            full = out_name + "__rnn_state"
+            net.add_layer(full, rnn_run, [ins[0]])
+            if outs[0]:
+                net.add_layer(outs[0], lambda s: s[0], [full])
+            if len(outs) > 1 and outs[1]:
+                net.add_layer(outs[1], lambda s: s[1], [full])
+            if len(outs) > 2 and outs[2]:
+                net.add_layer(outs[2], lambda s: s[2], [full])
         else:
             raise NotImplementedError(f"ONNX op {op!r} not supported")
     return net
+
+
+def _gate_perm(h, order):
+    """Row permutation turning gate-blocked [G*H, ...] weights from one
+    gate order into another."""
+    return np.concatenate([np.arange(h) + g * h for g in order])
 
 
 _UNARY = {

@@ -249,6 +249,74 @@ def test_instancenorm_hardswish_globalmaxpool(rng):
     np.testing.assert_allclose(got, want, atol=1e-5)
 
 
+def _gate_rows(h, order):
+    return np.concatenate([np.arange(h) + g * h for g in order])
+
+
+def test_onnx_lstm_matches_torch(rng):
+    """ONNX LSTM op (gate order iofc, B = Wb|Rb) vs torch.nn.LSTM
+    (gate order ifgo)."""
+    T, N, D, H = 6, 3, 5, 4
+    m = nn.LSTM(D, H)
+    p_t2o = _gate_rows(H, [0, 3, 1, 2])  # torch ifgo -> onnx iofc
+    with torch.no_grad():
+        W = m.weight_ih_l0.numpy()[p_t2o][None]
+        R = m.weight_hh_l0.numpy()[p_t2o][None]
+        B = np.concatenate(
+            [m.bias_ih_l0.numpy()[p_t2o], m.bias_hh_l0.numpy()[p_t2o]]
+        )[None]
+    nodes = [
+        _node("LSTM", ["input", "W", "R", "B"], ["Y", "Yh", "Yc"],
+              [_attr_int("hidden_size", H)]),
+    ]
+    inits = [_onnx_tensor("W", W), _onnx_tensor("R", R), _onnx_tensor("B", B)]
+    net = onnx_importer.load_onnx(_onnx_model(nodes, inits, ["input"], ["Y"]))
+    x = rng.normal(0, 1, (T, N, D)).astype(np.float32)
+    net.set_input(x, "input")
+    gotY = np.asarray(net.forward("Y"))
+    gotYc = np.asarray(net.forward("Yc"))
+    with torch.no_grad():
+        wantY, (wantH, wantC) = m(torch.from_numpy(x))
+    np.testing.assert_allclose(gotY[:, 0], wantY.numpy(), atol=1e-5)
+    np.testing.assert_allclose(gotYc, wantC.numpy(), atol=1e-5)
+
+
+def test_onnx_gru_bidirectional_matches_torch(rng):
+    T, N, D, H = 5, 2, 4, 3
+    m = nn.GRU(D, H, bidirectional=True)
+    p_t2o = _gate_rows(H, [1, 0, 2])  # torch rzn -> onnx zrh
+    with torch.no_grad():
+        W = np.stack(
+            [m.weight_ih_l0.numpy()[p_t2o],
+             m.weight_ih_l0_reverse.numpy()[p_t2o]]
+        )
+        R = np.stack(
+            [m.weight_hh_l0.numpy()[p_t2o],
+             m.weight_hh_l0_reverse.numpy()[p_t2o]]
+        )
+        B = np.stack(
+            [np.concatenate([m.bias_ih_l0.numpy()[p_t2o],
+                             m.bias_hh_l0.numpy()[p_t2o]]),
+             np.concatenate([m.bias_ih_l0_reverse.numpy()[p_t2o],
+                             m.bias_hh_l0_reverse.numpy()[p_t2o]])]
+        )
+    nodes = [
+        _node("GRU", ["input", "W", "R", "B"], ["Y"],
+              [_attr_int("hidden_size", H),
+               _attr_int("linear_before_reset", 1),
+               _attr_str("direction", "bidirectional")]),
+    ]
+    inits = [_onnx_tensor("W", W), _onnx_tensor("R", R), _onnx_tensor("B", B)]
+    net = onnx_importer.load_onnx(_onnx_model(nodes, inits, ["input"], ["Y"]))
+    x = rng.normal(0, 1, (T, N, D)).astype(np.float32)
+    net.set_input(x, "input")
+    got = np.asarray(net.forward("Y"))  # [T, 2, N, H]
+    with torch.no_grad():
+        want, _ = m(torch.from_numpy(x))  # [T, N, 2H]
+    np.testing.assert_allclose(got[:, 0], want.numpy()[:, :, :H], atol=1e-5)
+    np.testing.assert_allclose(got[:, 1], want.numpy()[:, :, H:], atol=1e-5)
+
+
 def test_lrn_matches_torch(rng):
     nodes = [
         _node("LRN", ["input"], ["out"],
