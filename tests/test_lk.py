@@ -109,3 +109,44 @@ def test_lk_patch_path_matches_dense(rng):
     np.testing.assert_allclose(
         np.asarray(me_p)[ok], np.asarray(me_d)[ok], rtol=1e-3
     )
+
+
+def test_lk_vmapped_pairs_match_sequential(rng):
+    """bench config2b contract: vmapping detect+track over independent
+    frame pairs must reproduce per-pair sequential results exactly."""
+    import jax
+
+    from opencv_tpu.ops import gftt
+
+    cfg = LKConfig(win_size=11, n_levels=2)
+    base = make_textured(rng)
+    frames = np.stack(
+        [np.roll(base, (i, 2 * i), axis=(0, 1)) for i in range(4)]
+    )
+    fr = jnp.asarray(frames)
+    pyrs = jax.vmap(lambda f: lk.build_flow_pyramid(f, cfg))(fr)
+    prev = jax.tree.map(lambda a: a[:-1], pyrs)
+    nxt = jax.tree.map(lambda a: a[1:], pyrs)
+
+    def detect(img):
+        kp = gftt.good_features_to_track(
+            img, max_corners=32, quality_level=0.05, min_distance=7.0
+        )
+        return kp.xy, kp.valid
+
+    xy, valid = jax.vmap(lambda p: detect(p[0][0]))(prev)
+    new_b, st_b, _ = jax.vmap(
+        lambda a, b, x, v: lk.calc_optical_flow_pyr_lk_pyr(a, b, x, v, cfg)
+    )(prev, nxt, xy, valid)
+
+    for i in range(3):
+        p_i = jax.tree.map(lambda a: a[i], prev)
+        n_i = jax.tree.map(lambda a: a[i], nxt)
+        new_s, st_s, _ = lk.calc_optical_flow_pyr_lk_pyr(
+            p_i, n_i, xy[i], valid[i], cfg
+        )
+        st_i = np.asarray(st_b[i])
+        np.testing.assert_array_equal(st_i, np.asarray(st_s))
+        np.testing.assert_allclose(
+            np.asarray(new_b[i])[st_i], np.asarray(new_s)[st_i], atol=1e-3
+        )
