@@ -329,7 +329,25 @@ def load_onnx(path_or_bytes) -> Net:
                 live,
             )
         elif op == "Where":
-            net.add_layer(out_name, jnp.where, [ins[0], ins[1], ins[2]])
+            # any of (cond, x, y) may be a constant initializer (masked-
+            # fill transformer exports): bind consts into the closure and
+            # wire only live tensors as runtime inputs (the Min/Max rule)
+            live = [nm for nm in ins[:3] if nm not in consts]
+            binds = [
+                jnp.asarray(consts[nm]) if nm in consts else None
+                for nm in ins[:3]
+            ]
+            net.add_layer(
+                out_name,
+                (lambda binds=binds: lambda *xs: jnp.where(
+                    *[
+                        b if b is not None else xs_it.pop(0)
+                        for xs_it in [list(xs)]
+                        for b in binds
+                    ]
+                ))(),
+                live,
+            )
         elif op == "Slice":
             if len(ins) > 1:  # opset >= 10: starts/ends/axes/steps inputs
                 starts = [int(v) for v in np.atleast_1d(consts[ins[1]])]
@@ -431,13 +449,8 @@ def load_onnx(path_or_bytes) -> Net:
                      "edge": "edge"}[mode]
             net.add_layer(
                 out_name,
-                (lambda pads=pads, cval=cval, jmode=jmode: lambda x: jnp.pad(
-                    x,
-                    [(pads[i], pads[i + x.ndim]) for i in range(x.ndim)],
-                    mode=jmode,
-                    **({"constant_values": cval} if jmode == "constant"
-                       else {}),
-                ))(),
+                (lambda pads=pads, cval=cval, jmode=jmode:
+                 lambda x: _pad(x, pads, cval, jmode))(),
                 [ins[0]],
             )
         elif op in ("ReduceMean", "ReduceSum", "ReduceMax", "ReduceMin"):
@@ -503,21 +516,36 @@ def load_onnx(path_or_bytes) -> Net:
             )
         elif op in ("Resize", "Upsample"):
             mode = at.get("mode", b"nearest").decode()
+            # Upsample and opset-10 Resize(X, scales) predate the
+            # coordinate_transformation_mode attribute; their fixed
+            # convention is asymmetric
             coord = at.get(
-                "coordinate_transformation_mode", b"half_pixel"
+                "coordinate_transformation_mode",
+                b"asymmetric" if op == "Upsample" or len(ins) == 2
+                else b"half_pixel",
             ).decode()
-            if op == "Upsample" or (len(ins) > 2 and ins[2] in consts
-                                    and np.asarray(consts[ins[2]]).size):
-                sc_name = ins[1] if op == "Upsample" else ins[2]
+            nearest_mode = at.get(
+                "nearest_mode",
+                b"floor" if op == "Upsample" or len(ins) == 2
+                else b"round_prefer_floor",
+            ).decode()
+            if op == "Upsample" or len(ins) == 2:
+                sc_name = ins[1]
                 scales = [float(v) for v in np.atleast_1d(consts[sc_name])]
+                sizes = None
+            elif (len(ins) > 2 and ins[2] in consts
+                  and np.asarray(consts[ins[2]]).size):
+                scales = [float(v) for v in np.atleast_1d(consts[ins[2]])]
                 sizes = None
             else:
                 scales = None
                 sizes = [int(v) for v in np.atleast_1d(consts[ins[3]])]
             net.add_layer(
                 out_name,
-                (lambda scales=scales, sizes=sizes, mode=mode, coord=coord:
-                 lambda x: _resize(x, scales, sizes, mode, coord))(),
+                (lambda scales=scales, sizes=sizes, mode=mode, coord=coord,
+                        nearest_mode=nearest_mode:
+                 lambda x: _resize(x, scales, sizes, mode, coord,
+                                   nearest_mode))(),
                 [ins[0]],
             )
         elif op in ("LSTM", "GRU"):
@@ -535,13 +563,41 @@ def load_onnx(path_or_bytes) -> Net:
 
             lbr = bool(at.get("linear_before_reset", 0))
 
+            # optional inputs: sequence_lens (4), initial_h (5),
+            # initial_c (6).  Per-sequence lengths have no analog in the
+            # scan-based layers, so refuse loudly instead of silently
+            # ignoring them; initial states thread through when constant.
+            if len(ins) > 4 and ins[4]:
+                raise NotImplementedError(
+                    f"ONNX {op}: per-sequence sequence_lens input is not "
+                    "supported (all sequences run full length)"
+                )
+            H0 = Cc0 = None
+            if len(ins) > 5 and ins[5]:
+                if ins[5] not in consts:
+                    raise NotImplementedError(
+                        f"ONNX {op}: runtime (non-initializer) initial_h "
+                        "is not supported"
+                    )
+                H0 = np.asarray(consts[ins[5]])  # [ndir, N, H]
+            if is_lstm and len(ins) > 6 and ins[6]:
+                if ins[6] not in consts:
+                    raise NotImplementedError(
+                        f"ONNX {op}: runtime (non-initializer) initial_c "
+                        "is not supported"
+                    )
+                Cc0 = np.asarray(consts[ins[6]])
+
             def rnn_run(x, W=W, Rm=Rm, B=B, hidden=hidden, ndir=ndir,
-                        direction=direction, is_lstm=is_lstm, lbr=lbr):
+                        direction=direction, is_lstm=is_lstm, lbr=lbr,
+                        H0=H0, Cc0=Cc0):
                 # x [T, N, D] (ONNX layout)
                 ys_dirs, h_dirs, c_dirs = [], [], []
                 for d in range(ndir):
                     rev = direction == "reverse" or d == 1
                     xs = x[::-1] if rev else x
+                    h0 = jnp.asarray(H0[d]) if H0 is not None else None
+                    c0 = jnp.asarray(Cc0[d]) if Cc0 is not None else None
                     if is_lstm:
                         # ONNX gate order (i, o, f, c) -> layers.lstm
                         # order (i, f, o, g)
@@ -554,7 +610,9 @@ def load_onnx(path_or_bytes) -> Net:
                             if B is not None
                             else None
                         )
-                        ys, (h_t, c_t) = layers.lstm(xs, wi, wh, b)
+                        ys, (h_t, c_t) = layers.lstm(
+                            xs, wi, wh, b, h0=h0, c0=c0
+                        )
                         c_dirs.append(c_t)
                     else:
                         wi = jnp.asarray(W[d])
@@ -568,7 +626,8 @@ def load_onnx(path_or_bytes) -> Net:
                             if B is not None else None
                         )
                         ys, h_t = layers.gru(
-                            xs, wi, wh, bi, bh, linear_before_reset=lbr
+                            xs, wi, wh, bi, bh, h0=h0,
+                            linear_before_reset=lbr,
                         )
                     ys_dirs.append(ys[::-1] if rev else ys)
                     h_dirs.append(h_t)
@@ -587,6 +646,15 @@ def load_onnx(path_or_bytes) -> Net:
                 net.add_layer(outs[2], lambda s: s[2], [full])
         else:
             raise NotImplementedError(f"ONNX op {op!r} not supported")
+    # safety net: any layer input that is neither a layer output nor a
+    # graph input but IS an initializer gets registered as a fixed input
+    # blob (handlers normally bind consts into closures; this covers op
+    # paths that wire an initializer name as a live input)
+    produced = {nm for nm, _, _ in net._layers}
+    for _, _, in_names in list(net._layers):
+        for nm in in_names:
+            if nm not in produced and nm in consts and nm not in net._inputs:
+                net.set_input(jnp.asarray(consts[nm]), nm)
     return net
 
 
@@ -635,11 +703,34 @@ def _slice(x, starts, ends, axes, steps):
 
 def _split_chunk(x, oi, axis, sizes, nout):
     if sizes is None:
-        sizes = [x.shape[axis] // nout] * nout
+        # opset-18 equal-split rule: ceil(dim/nout) chunks, last smaller
+        chunk = -(-x.shape[axis] // nout)
+        sizes = [
+            min(chunk, x.shape[axis] - i * chunk) for i in range(nout)
+        ]
     start = int(np.sum(sizes[:oi]))
     sl = [slice(None)] * x.ndim
     sl[axis] = slice(start, start + sizes[oi])
     return x[tuple(sl)]
+
+
+def _pad(x, pads, cval, jmode):
+    """ONNX Pad incl. negative entries (crop semantics): pad the
+    non-negative part, then slice away the negative part."""
+    pos = [(max(pads[i], 0), max(pads[i + x.ndim], 0))
+           for i in range(x.ndim)]
+    out = jnp.pad(
+        x, pos, mode=jmode,
+        **({"constant_values": cval} if jmode == "constant" else {}),
+    )
+    sl = tuple(
+        slice(
+            max(-pads[i], 0),
+            out.shape[i] - max(-pads[i + x.ndim], 0),
+        )
+        for i in range(x.ndim)
+    )
+    return out[sl]
 
 
 def _lrn(x, size, alpha, beta, bias):
@@ -684,34 +775,69 @@ def _conv_transpose(x, weight, bias, stride, pads, out_pad, groups):
     return out
 
 
-def _resize(x, scales, sizes, mode, coord):
-    """ONNX Resize on NCHW: nearest (asymmetric floor, the torch Upsample
-    export) or linear (half-pixel, the align_corners=False export)."""
+def _resize_src_coords(out_n, in_n, coord):
+    """Source (input-space, float) coordinate of each output index under
+    an ONNX coordinate_transformation_mode."""
+    i = np.arange(out_n, dtype=np.float64)
+    s = in_n / out_n
+    if coord == "half_pixel":
+        return (i + 0.5) * s - 0.5
+    if coord == "pytorch_half_pixel":
+        return (i + 0.5) * s - 0.5 if out_n > 1 else np.zeros_like(i)
+    if coord == "asymmetric":
+        return i * s
+    if coord == "align_corners":
+        return i * ((in_n - 1) / (out_n - 1)) if out_n > 1 else i * 0.0
+    raise NotImplementedError(
+        f"ONNX Resize coordinate_transformation_mode {coord!r}"
+    )
+
+
+def _resize(x, scales, sizes, mode, coord, nearest_mode="round_prefer_floor"):
+    """ONNX Resize on NCHW, exact per-mode conventions (separable)."""
     h, w = x.shape[2], x.shape[3]
     if sizes is not None:
         oh, ow = int(sizes[2]), int(sizes[3])
     else:
-        oh, ow = int(round(h * scales[2])), int(round(w * scales[3]))
+        # ONNX: floor(len * scale), not round
+        oh, ow = int(np.floor(h * scales[2])), int(np.floor(w * scales[3]))
+    sy = _resize_src_coords(oh, h, coord)
+    sx = _resize_src_coords(ow, w, coord)
     if mode == "nearest":
-        iy = jnp.clip(
-            jnp.floor(jnp.arange(oh) * (h / oh)).astype(jnp.int32), 0, h - 1
+        rnd = {
+            "round_prefer_floor": lambda v: np.ceil(v - 0.5),
+            "round_prefer_ceil": lambda v: np.floor(v + 0.5),
+            "floor": np.floor,
+            "ceil": np.ceil,
+        }
+        if nearest_mode not in rnd:
+            raise NotImplementedError(
+                f"ONNX Resize nearest_mode {nearest_mode!r}"
+            )
+        iy = jnp.asarray(
+            np.clip(rnd[nearest_mode](sy), 0, h - 1).astype(np.int32)
         )
-        ix = jnp.clip(
-            jnp.floor(jnp.arange(ow) * (w / ow)).astype(jnp.int32), 0, w - 1
+        ix = jnp.asarray(
+            np.clip(rnd[nearest_mode](sx), 0, w - 1).astype(np.int32)
         )
-        if coord == "align_corners" and oh > 1 and ow > 1:
-            iy = jnp.round(
-                jnp.arange(oh) * ((h - 1) / (oh - 1))
-            ).astype(jnp.int32)
-            ix = jnp.round(
-                jnp.arange(ow) * ((w - 1) / (ow - 1))
-            ).astype(jnp.int32)
         return x[:, :, iy[:, None], ix[None, :]]
-    import jax
+    if mode != "linear":
+        raise NotImplementedError(f"ONNX Resize mode {mode!r}")
+    # separable bilinear as two small dense weight matmuls [oh,h],[ow,w]
+    # (static shapes; XLA maps them to the MXU)
+    def wmat(src, n):
+        src = np.clip(src, 0.0, n - 1)  # border clamp BEFORE weights
+        lo = np.floor(src).astype(np.int64)
+        hi = np.minimum(lo + 1, n - 1)
+        frac = src - lo
+        m = np.zeros((len(src), n), np.float32)
+        m[np.arange(len(src)), lo] += (1.0 - frac).astype(np.float32)
+        m[np.arange(len(src)), hi] += frac.astype(np.float32)
+        return jnp.asarray(m)
 
-    return jax.image.resize(
-        x, x.shape[:2] + (oh, ow), method="bilinear"
-    ).astype(x.dtype)
+    wy, wx = wmat(sy, h), wmat(sx, w)
+    out = jnp.einsum("oh,nchw,pw->ncop", wy, x.astype(jnp.float32), wx)
+    return out.astype(x.dtype)
 
 
 def _pool(x, k, stride, pad, mode):
