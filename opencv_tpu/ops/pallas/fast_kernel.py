@@ -48,13 +48,17 @@ def _window_min(arrs: list, n: int, _memo=None) -> list:
     return out
 
 
-def _fast_strip_kernel(img_ref, out_ref, buf, sem, *, th: int, arc: int):
+def _fast_strip_kernel(img_ref, out_ref, buf, sem, *, th: int, arc: int,
+                       spi: int):
     i = pl.program_id(0)
-    # strip i covers rows [i*th, i*th+th) of the output; input is padded
-    # by 4 rows on each side (Mosaic DMA slices must be 8-row aligned,
-    # so the halo is 4 even though the stencil only needs 3)
+    # grid runs images-major: image b = i // spi, strip s = i % spi.
+    # strip s covers rows [s*th, s*th+th) of image b's output; each
+    # image's input block is padded by 4 rows on each side (Mosaic DMA
+    # slices must be 8-row aligned, so the halo is 4 even though the
+    # stencil only needs 3), hence the b*8 offset between images
+    b = i // spi
     dma = pltpu.make_async_copy(
-        img_ref.at[pl.ds(i * th, th + 8), :], buf, sem
+        img_ref.at[pl.ds(i * th + b * 8, th + 8), :], buf, sem
     )
     dma.start()
     dma.wait()
@@ -86,13 +90,18 @@ def _fast_strip_kernel(img_ref, out_ref, buf, sem, *, th: int, arc: int):
 
 
 def _fast_nms_strip_kernel(img_ref, score_ref, nms_ref, buf, sem, *, th: int,
-                           arc: int, threshold: float, h: int, w: int):
+                           arc: int, threshold: float, h: int, w: int,
+                           spi: int):
     """Like _fast_strip_kernel but also emits the corner-thresholded,
     3x3-NMS'd score (the full FAST detection stencil in one pass). Needs
     score on th+2 rows, so the circle taps span dy in [-4, 4] — exactly
-    the 4-row halo."""
+    the 4-row halo. Images-major grid like _fast_strip_kernel."""
     i = pl.program_id(0)
-    dma = pltpu.make_async_copy(img_ref.at[pl.ds(i * th, th + 8), :], buf, sem)
+    b = i // spi
+    s = i - b * spi
+    dma = pltpu.make_async_copy(
+        img_ref.at[pl.ds(i * th + b * 8, th + 8), :], buf, sem
+    )
     dma.start()
     dma.wait()
     the = th + 2  # extended row count (one NMS halo row each side)
@@ -120,7 +129,7 @@ def _fast_nms_strip_kernel(img_ref, score_ref, nms_ref, buf, sem, *, th: int,
     # garbage scores (zero padding / lane wrap) that must never suppress a
     # valid neighbour (the XLA path applies the same mask)
     grow = (
-        jax.lax.broadcasted_iota(jnp.int32, s_ext.shape, 0) + i * th - 1
+        jax.lax.broadcasted_iota(jnp.int32, s_ext.shape, 0) + s * th - 1
     )
     gcol = jax.lax.broadcasted_iota(jnp.int32, s_ext.shape, 1)
     valid = (grow >= 3) & (grow < h - 3) & (gcol >= 3) & (gcol < w - 3)
@@ -140,49 +149,112 @@ def _fast_nms_strip_kernel(img_ref, score_ref, nms_ref, buf, sem, *, th: int,
     nms_ref[:] = jnp.where(keep, cur, jnp.float32(_NEG))
 
 
-def fast_corners_pallas(
-    img: jnp.ndarray, threshold: float, arc_length: int = 9,
-    strip: int = 16, interpret: bool = False,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Fused FAST detection: returns (score, nms_score) where nms_score
-    is > -1e8 exactly at thresholded NMS survivors. One kernel pass."""
-    h, w = img.shape
-    img = img.astype(jnp.float32)
+def _stack_padded(imgs: jnp.ndarray, strip: int):
+    """[B,h,w] -> one tall [B*(hp+8), wp] array: each image's block is
+    4-row zero-padded top+bottom (the DMA halo), images stacked
+    vertically so a batch is just more independent strips in the SAME
+    kernel grid (images-major). The cross-image halo reads land in the
+    zero padding, exactly like the single-image borders."""
+    bsz, h, w = imgs.shape
     wp = ((w + 127) // 128) * 128
     hp = ((h + strip - 1) // strip) * strip
-    padded = jnp.zeros((hp + 8, wp), jnp.float32)
-    padded = jax.lax.dynamic_update_slice(padded, img, (4, 0))
+    padded = jnp.zeros((bsz, hp + 8, wp), jnp.float32)
+    padded = jax.lax.dynamic_update_slice(
+        padded, imgs.astype(jnp.float32), (0, 4, 0)
+    )
+    return padded.reshape(bsz * (hp + 8), wp), hp, wp
 
-    grid = (hp // strip,)
+
+def _inside_mask(bsz, h, w):
+    yy = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w), 1)
+    xx = jax.lax.broadcasted_iota(jnp.int32, (bsz, h, w), 2)
+    return (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+
+
+def _corners_batched(imgs, threshold, arc_length, strip, interpret):
+    bsz, h, w = imgs.shape
+    stacked, hp, wp = _stack_padded(imgs, strip)
+    spi = hp // strip
     kernel = functools.partial(
         _fast_nms_strip_kernel, th=strip, arc=arc_length,
-        threshold=float(threshold), h=h, w=w,
+        threshold=float(threshold), h=h, w=w, spi=spi,
     )
     score, nms = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(bsz * spi,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=[
             pl.BlockSpec((strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-            jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz * hp, wp), jnp.float32),
+            jax.ShapeDtypeStruct((bsz * hp, wp), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((strip + 8, wp), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(padded)
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inside = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
+    )(stacked)
+    inside = _inside_mask(bsz, h, w)
     neg = jnp.float32(_NEG)
-    score = jnp.where(inside, score[:h, :w], neg)
-    nms = jnp.where(inside, nms[:h, :w], neg)
+    score = jnp.where(inside, score.reshape(bsz, hp, wp)[:, :h, :w], neg)
+    nms = jnp.where(inside, nms.reshape(bsz, hp, wp)[:, :h, :w], neg)
     return score, nms
+
+
+def _score_batched(imgs, arc_length, strip, interpret):
+    bsz, h, w = imgs.shape
+    stacked, hp, wp = _stack_padded(imgs, strip)
+    spi = hp // strip
+    kernel = functools.partial(
+        _fast_strip_kernel, th=strip, arc=arc_length, spi=spi
+    )
+    score = pl.pallas_call(
+        kernel,
+        grid=(bsz * spi,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz * hp, wp), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((strip + 8, wp), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(stacked)
+    inside = _inside_mask(bsz, h, w)
+    return jnp.where(
+        inside, score.reshape(bsz, hp, wp)[:, :h, :w], jnp.float32(_NEG)
+    )
+
+
+def fast_corners_pallas(
+    img: jnp.ndarray, threshold: float, arc_length: int = 9,
+    strip: int = 16, interpret: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Fused FAST detection: returns (score, nms_score) where nms_score
+    is > -1e8 exactly at thresholded NMS survivors. One kernel pass.
+
+    vmap-able (one level): the batching rule folds the batch into the
+    strip grid (strips are independent), avoiding the generic pallas
+    batcher which cannot lower ANY-memory-space operands."""
+
+    @jax.custom_batching.custom_vmap
+    def _call(im):
+        s, n = _corners_batched(
+            im[None], threshold, arc_length, strip, interpret
+        )
+        return s[0], n[0]
+
+    @_call.def_vmap
+    def _rule(axis_size, in_batched, ims):  # noqa: ANN001
+        out = _corners_batched(ims, threshold, arc_length, strip, interpret)
+        return out, (True, True)
+
+    return _call(img)
 
 
 def fast_score_pallas(
@@ -190,32 +262,17 @@ def fast_score_pallas(
 ) -> jnp.ndarray:
     """Drop-in for ops.fast.fast_score on TPU (border/padding handled
     here; column wrap-around from the lane roll lands in the 3-px border
-    that is invalidated anyway)."""
-    h, w = img.shape
-    img = img.astype(jnp.float32)
-    wp = ((w + 127) // 128) * 128
-    hp = ((h + strip - 1) // strip) * strip
-    padded = jnp.zeros((hp + 8, wp), jnp.float32)
-    padded = jax.lax.dynamic_update_slice(padded, img, (4, 0))
+    that is invalidated anyway). vmap-able, like fast_corners_pallas."""
 
-    grid = (hp // strip,)
-    kernel = functools.partial(_fast_strip_kernel, th=strip, arc=arc_length)
-    score = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec(
-            (strip, wp), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((strip + 8, wp), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
-        interpret=interpret,
-    )(padded)
-    score = score[:h, :w]
-    yy = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
-    xx = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-    inside = (yy >= 3) & (yy < h - 3) & (xx >= 3) & (xx < w - 3)
-    return jnp.where(inside, score, jnp.float32(_NEG))
+    @jax.custom_batching.custom_vmap
+    def _call(im):
+        return _score_batched(im[None], arc_length, strip, interpret)[0]
+
+    @_call.def_vmap
+    def _rule(axis_size, in_batched, ims):  # noqa: ANN001
+        return (
+            _score_batched(ims, arc_length, strip, interpret),
+            True,
+        )
+
+    return _call(img)

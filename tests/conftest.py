@@ -74,6 +74,6 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: multi-minute end-to-end runs (engine sequences, renders, "
-        "2-process tests). Fast lane: pytest -m 'not slow' (~15 min); "
-        "full suite (CI/driver): pytest tests/ (~35 min).",
+        "2-process tests). Fast lane: pytest -m 'not slow' (~20 min on "
+        "the 2-vCPU host); full suite (CI/driver): pytest tests/.",
     )

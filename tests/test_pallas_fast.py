@@ -43,3 +43,39 @@ def test_fused_corners_matches_xla(rng):
         np.asarray(score_p)[interior], np.asarray(score_x)[interior]
     )
     np.testing.assert_array_equal(corner_p[interior], np.asarray(corner_x)[interior])
+
+
+def test_fast_pallas_vmap_batched_parity(rng):
+    """vmap over images must equal per-image results exactly: the
+    custom_vmap rule folds the batch into the strip grid (images-major),
+    so batching may not perturb any pixel's stencil."""
+    import jax
+
+    imgs = rng.uniform(0, 255, size=(3, 64, 96)).astype(np.float32)
+    single = [
+        fast_kernel.fast_corners_pallas(
+            jnp.asarray(im), threshold=18.0, interpret=True
+        )
+        for im in imgs
+    ]
+    batched = jax.vmap(
+        lambda im: fast_kernel.fast_corners_pallas(
+            im, threshold=18.0, interpret=True
+        )
+    )(jnp.asarray(imgs))
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(batched[0][b]),
+                                      np.asarray(single[b][0]))
+        np.testing.assert_array_equal(np.asarray(batched[1][b]),
+                                      np.asarray(single[b][1]))
+
+    sc_single = [
+        fast_kernel.fast_score_pallas(jnp.asarray(im), interpret=True)
+        for im in imgs
+    ]
+    sc_batched = jax.vmap(
+        lambda im: fast_kernel.fast_score_pallas(im, interpret=True)
+    )(jnp.asarray(imgs))
+    for b in range(3):
+        np.testing.assert_array_equal(np.asarray(sc_batched[b]),
+                                      np.asarray(sc_single[b]))
