@@ -22,7 +22,23 @@ parser = argparse.ArgumentParser()
 parser.add_argument("--cpu", action="store_true")
 parser.add_argument("--frames", type=int, default=60)
 parser.add_argument("--drop_rate", type=float, default=0.15)
+parser.add_argument(
+    "--history_distribution", default="1",
+    help="comma-separated distribution over the AGE of the track state "
+    "fed to each tracking step (e.g. '7,3' = 0.7 chance of the prior "
+    "frame's tracks, 0.3 of two frames back) — the ISORC'20 "
+    "stale-state experiment (tbd.cpp:173,645-704)",
+)
+parser.add_argument(
+    "--num_tracking_iters", type=int, default=1,
+    help="repeat the whole tracking experiment N times "
+    "(tbd.cpp:179 --num_tracking_iters)",
+)
 args = parser.parse_args()
+history_dist = np.array(
+    [float(v) for v in args.history_distribution.split(",")], np.float64
+)
+history_dist = history_dist / history_dist.sum()
 if args.cpu:
     import jax
 
@@ -50,15 +66,22 @@ def gt_boxes(t):
     return peds, vehicles
 
 
-def main():
-    rng = np.random.default_rng(0)
+def run_experiment(rng):
+    """One full tracking pass (the reference repeats this
+    --num_tracking_iters times, tbd.cpp:498). The history-distribution
+    machinery mirrors tbd.cpp:629-706: per frame, sample an AGE from the
+    distribution, feed the tracker the track state stored that many
+    frames ago (from a ring buffer), step, store the result."""
     ped_tracker = Tracker(TbdConfig())
     veh_tracker = Tracker(TbdConfig())
     ped_metrics = MotMetrics()
     veh_metrics = MotMetrics()
+    hlen = len(history_dist)
+    ped_buf = [None] * hlen  # ring buffers of track snapshots
+    veh_buf = [None] * hlen
+    history_ages = []
 
     t_track = 0.0
-    t0_all = time.time()
     for t in range(args.frames):
         peds, vehicles = gt_boxes(t)
         # jittered detections with dropouts (stale-detection experiment)
@@ -67,16 +90,45 @@ def main():
             return gt[keep] + rng.normal(0, 0.8, (keep.sum(), 4)).astype(np.float32)
 
         det_p, det_v = detect(peds), detect(vehicles)
+
+        # sample the history age (tbd.cpp:650-662); age 1 = previous frame
+        age = int(rng.choice(hlen, p=history_dist)) + 1
+        history_ages.append(age)
         t0 = time.time()
+        if hlen > 1:
+            if t >= age and ped_buf[(t - age) % hlen] is not None:
+                ped_tracker.set_tracks(ped_buf[(t - age) % hlen])
+                veh_tracker.set_tracks(veh_buf[(t - age) % hlen])
+            else:
+                ped_tracker.reset()
+                veh_tracker.reset()
         conf_p = ped_tracker.step(det_p)
         conf_v = veh_tracker.step(det_v)
+        if hlen > 1:
+            ped_buf[t % hlen] = ped_tracker.get_tracks()
+            veh_buf[t % hlen] = veh_tracker.get_tracks()
         t_track += time.time() - t0
         if t >= 5:
             if conf_p:
                 ped_metrics.update(np.stack([tr.bbox for tr in conf_p]), peds)
             if conf_v:
                 veh_metrics.update(np.stack([tr.bbox for tr in conf_v]), vehicles)
+    return ped_metrics, veh_metrics, t_track, history_ages
+
+
+def main():
+    rng = np.random.default_rng(0)
+    t0_all = time.time()
+    for it in range(args.num_tracking_iters):
+        ped_metrics, veh_metrics, t_track, history_ages = run_experiment(rng)
+        if args.num_tracking_iters > 1:
+            print(f"iter {it}: tracking-only "
+                  f"{args.frames / max(t_track, 1e-9):.1f} FPS")
     wall = time.time() - t0_all
+    if len(history_dist) > 1:
+        counts = np.bincount(history_ages, minlength=len(history_dist) + 1)
+        print("history ages used:",
+              {a: int(c) for a, c in enumerate(counts) if a >= 1})
 
     print(f"frames: {args.frames}  total {wall:.2f}s "
           f"({args.frames / wall:.1f} FPS, tracking-only {args.frames / max(t_track, 1e-9):.1f} FPS)")

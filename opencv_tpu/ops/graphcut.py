@@ -24,6 +24,9 @@ import jax.numpy as jnp
 from jax import lax
 
 _DIRS = ((-1, 0), (1, 0), (0, -1), (0, 1))
+# 8-connected extension (grabcut's diagonal N-links); opposite pairs
+# stay adjacent so opp[k] = k ^ 1
+_DIRS8 = _DIRS + ((-1, -1), (1, 1), (-1, 1), (1, -1))
 
 
 def _shift(x, dy, dx, fill):
@@ -41,12 +44,17 @@ def min_cut_grid(
     """Binary min-cut labels (True = source side).
 
     source_cap/sink_cap: [H, W] >= 0 terminal capacities (unary terms);
-    edge_caps: [4, H, W] capacity toward (up, down, left, right)
-    neighbours (pairwise terms; symmetric input expected).
+    edge_caps: [K, H, W] with K=4 (up, down, left, right) or K=8
+    (+ the _DIRS8 diagonals) capacity toward each neighbour (pairwise
+    terms; symmetric input expected).
     """
     h, w = source_cap.shape
     n = h * w + 2
     inf = jnp.float32(1e18)
+
+    k_dirs = edge_caps.shape[0]
+    assert k_dirs in (4, 8), k_dirs
+    dirs = _DIRS8[:k_dirs]
 
     # residuals toward each direction; reverse residual lives in the
     # neighbour's opposite slot
@@ -56,7 +64,7 @@ def min_cut_grid(
     excess = source_cap.astype(jnp.float32) - sink_cap.astype(jnp.float32)
     height = jnp.zeros((h, w), jnp.int32)
 
-    opp = [1, 0, 3, 2]
+    opp = [k ^ 1 for k in range(k_dirs)]
 
     def active(excess, height):
         return (excess > 0) & (height < n)
@@ -65,7 +73,7 @@ def min_cut_grid(
         excess, height, res, _ = state
         # --- push phase (4 directions, sequential within a sweep so
         # flow conservation holds; each is a fused whole-image op)
-        for k, (dy, dx) in enumerate(_DIRS):
+        for k, (dy, dx) in enumerate(dirs):
             # shift2d(x, dy, dx)[p] == x[p + (dy, dx)]: the neighbour in
             # direction (dy, dx) reads with a POSITIVE shift
             nb_h = _shift(height, dy, dx, n)
@@ -80,7 +88,7 @@ def min_cut_grid(
 
         # --- relabel phase: nodes with excess but no admissible edge
         min_h = jnp.full((h, w), n, jnp.int32)
-        for k, (dy, dx) in enumerate(_DIRS):
+        for k, (dy, dx) in enumerate(dirs):
             nb_h = _shift(height, dy, dx, n)
             min_h = jnp.where(res[k] > 0, jnp.minimum(min_h, nb_h + 1), min_h)
         need = active(excess, height)
@@ -119,7 +127,7 @@ def min_cut_grid(
     def reach_body(state):
         reach, changed = state
         new = reach
-        for k, (dy, dx) in enumerate(_DIRS):
+        for k, (dy, dx) in enumerate(dirs):
             # node p reaches the sink if residual from p toward a
             # reachable neighbour exists
             nb_reach = _shift(reach, dy, dx, False)

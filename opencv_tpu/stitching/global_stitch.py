@@ -361,9 +361,12 @@ def stitch_panorama(
     seed: int = 0,
     use_seams: bool = True,
     blend_bands: int = 3,
+    exposure_comp: str | None = "gain",
 ) -> np.ndarray:
     """Full N-image pipeline (Stitcher::stitch analog): estimate, warp
-    onto a spherical canvas, DP seams, multiband blend."""
+    onto a spherical canvas, exposure compensation ("gain" | "blocks" |
+    None, stitching/src/exposure_compensate.cpp), DP seams, multiband
+    blend."""
     R, f, _ = estimate_panorama(images, n_features=n_features, seed=seed)
     n = len(images)
 
@@ -397,6 +400,15 @@ def stitch_panorama(
         )
         warped.append(wimg)
         masks.append(m)
+
+    if exposure_comp == "gain":
+        from opencv_tpu.stitching import exposure
+
+        warped, _ = exposure.gain_compensate(warped, masks)
+    elif exposure_comp == "blocks":
+        from opencv_tpu.stitching import exposure
+
+        warped, _ = exposure.block_gain_compensate(warped, masks)
 
     if use_seams:
         for a in range(n):

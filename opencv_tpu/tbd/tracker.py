@@ -169,6 +169,40 @@ class Tracker:
 
     # ---- public API ----
 
+    def get_tracks(self):
+        """Snapshot of the full track state (the reference app's
+        getTracks, samples/gpu/tbd.cpp:704 — used by the
+        --history_distribution stale-state experiments). Deep copy:
+        mutating the live tracker never changes a stored snapshot."""
+        import copy
+
+        kf = None
+        if self._kf is not None:
+            kf = (np.asarray(self._kf.x), np.asarray(self._kf.P))
+        return (copy.deepcopy(self.tracks), self.next_id, kf)
+
+    def set_tracks(self, snapshot):
+        """Restore a get_tracks() snapshot (the reference's setTracks,
+        samples/gpu/tbd.cpp:685): the next step() runs against these
+        possibly-stale tracks instead of the tracker's own latest."""
+        import copy
+
+        tracks, next_id, kf = snapshot
+        self.tracks = copy.deepcopy(tracks)
+        self.next_id = next_id
+        if kf is None:
+            self._kf = None
+        else:
+            self._kf = kalman.KalmanState(
+                jnp.asarray(kf[0]), jnp.asarray(kf[1])
+            )
+
+    def reset(self):
+        """Drop all tracks (the reference's Tracker::reset)."""
+        self.tracks = []
+        self.next_id = 0
+        self._kf = None
+
     def step(
         self,
         det_boxes: np.ndarray,
