@@ -53,6 +53,8 @@ __all__ = [
     "min_enclosing_circle",
     "match_shapes",
     "point_polygon_test",
+    "rotated_rect_intersection",
+    "min_enclosing_triangle",
 ]
 
 
@@ -829,3 +831,170 @@ def point_polygon_test(
     if measure_dist:
         return sign * dmin
     return sign
+
+
+# ---------------------------------------------------------------------------
+# rotated-rectangle intersection + minimum enclosing triangle
+# (imgproc/src/intersection.cpp:1, min_enclosing_triangle.cpp:1)
+
+INTERSECT_NONE = 0
+INTERSECT_PARTIAL = 1
+INTERSECT_FULL = 2
+
+
+def _clip_poly_halfplane(poly, a, b):
+    """Sutherland-Hodgman: keep the side of directed edge a->b that is
+    to the LEFT (inside for a CCW clip polygon)."""
+    out = []
+    n = len(poly)
+    for i in range(n):
+        p, q = poly[i], poly[(i + 1) % n]
+        e = b - a
+        side_p = e[0] * (p - a)[1] - e[1] * (p - a)[0]
+        side_q = e[0] * (q - a)[1] - e[1] * (q - a)[0]
+        if side_p >= -1e-12:
+            out.append(p)
+        if (side_p > 1e-12 and side_q < -1e-12) or (
+            side_p < -1e-12 and side_q > 1e-12
+        ):
+            t = side_p / (side_p - side_q)
+            out.append(p + t * (q - p))
+    return out
+
+
+def rotated_rect_intersection(rect1, rect2):
+    """cv::rotatedRectangleIntersection (imgproc/src/intersection.cpp:1).
+
+    rect1/rect2: (center, size, angle_deg) RotatedRect triples.
+    Returns (status, pts [N,2] f32): the intersection polygon vertices
+    (unordered-dedup like cv2) and INTERSECT_NONE / PARTIAL / FULL
+    (FULL = one rectangle entirely inside the other)."""
+    p1 = [np.asarray(v, np.float64) for v in box_points(*rect1)]
+    p2 = [np.asarray(v, np.float64) for v in box_points(*rect2)]
+
+    def ensure_ccw(poly):
+        area = 0.0
+        for i in range(len(poly)):
+            a, b = poly[i], poly[(i + 1) % len(poly)]
+            area += a[0] * b[1] - b[0] * a[1]
+        return poly if area > 0 else poly[::-1]
+
+    p1 = ensure_ccw(p1)
+    p2 = ensure_ccw(p2)
+    poly = list(p1)
+    for i in range(4):
+        if not poly:
+            break
+        poly = _clip_poly_halfplane(poly, p2[i], p2[(i + 1) % 4])
+    if not poly:
+        return INTERSECT_NONE, np.zeros((0, 2), np.float32)
+    # dedup nearly-identical vertices (cv2 does the same pass)
+    uniq = []
+    for p in poly:
+        if all(np.linalg.norm(p - q) > 1e-6 for q in uniq):
+            uniq.append(p)
+    pts = np.asarray(uniq, np.float32).reshape(-1, 2)
+
+    def poly_area(poly):
+        s = 0.0
+        for i in range(len(poly)):
+            a, b = poly[i], poly[(i + 1) % len(poly)]
+            s += a[0] * b[1] - b[0] * a[1]
+        return abs(s) / 2
+
+    ai = poly_area(poly)
+    a1 = float(rect1[1][0]) * float(rect1[1][1])
+    a2 = float(rect2[1][0]) * float(rect2[1][1])
+    if abs(ai - min(a1, a2)) < 1e-6 * max(a1, a2, 1.0):
+        return INTERSECT_FULL, pts
+    return INTERSECT_PARTIAL, pts
+
+
+def min_enclosing_triangle(pts: np.ndarray):
+    """cv::minEnclosingTriangle (imgproc/src/min_enclosing_triangle.cpp:1).
+
+    Every enclosing triangle can be shrunk until all three sides are
+    hull support lines, so the minimum is a function of three support
+    angles only; the reference walks O'Rourke's rotating configuration,
+    here the same optimum is found by dense angle search + Nelder-Mead
+    polish over (theta1, theta2, theta3) — host-side control, exact
+    support offsets from the hull. Returns (triangle [3,2] f32, area)."""
+    hull = np.asarray(convex_hull(np.asarray(pts, np.float64)), np.float64)
+    hull = hull.reshape(-1, 2)
+    if hull.shape[0] < 3:
+        return hull.astype(np.float32), 0.0
+
+    def support(theta):
+        n = np.array([np.cos(theta), np.sin(theta)])
+        return n, float((hull @ n).max())
+
+    def tri_from_angles(angles):
+        lines = [support(t) for t in angles]
+        vs = []
+        for i in range(3):
+            (n1, c1), (n2, c2) = lines[i], lines[(i + 1) % 3]
+            A = np.stack([n1, n2])
+            det = np.linalg.det(A)
+            if abs(det) < 1e-9:
+                return None, np.inf
+            vs.append(np.linalg.solve(A, np.array([c1, c2])))
+        v = np.asarray(vs)
+        d1, d2 = v[1] - v[0], v[2] - v[0]
+        area = abs(d1[0] * d2[1] - d1[1] * d2[0]) / 2
+        # the three support half-planes contain the hull by construction;
+        # a degenerate (unbounded/inverted) configuration shows up as the
+        # intersection points NOT being on the correct side
+        for n, c in lines:
+            if (v @ n - c).max() > 1e-6 * max(1.0, abs(c)):
+                return None, np.inf
+        return v, area
+
+    # coarse: the optimum has a side FLUSH with a hull edge (Klee &
+    # Laskowski), so seed theta1 at every hull edge normal and sweep the
+    # other two angles on a grid; keep the best few seeds for polishing
+    edge = np.roll(hull, -1, axis=0) - hull
+    edge_angles = np.arctan2(edge[:, 0], -edge[:, 1])  # outward normals
+    base = np.unique(np.round(edge_angles, 9))
+    sweep = np.linspace(-0.8, 0.8, 9)
+    # per flush edge: best (theta2, theta3) seed from the sweep grid
+    seeds = []
+    best_v, best_area = None, np.inf
+    for t1 in base:
+        sa, sx = np.inf, None
+        for eps1 in sweep:
+            for eps2 in sweep:
+                ang = (
+                    t1,
+                    t1 + 2 * np.pi / 3 + eps1,
+                    t1 + 4 * np.pi / 3 + eps2,
+                )
+                v, a = tri_from_angles(ang)
+                if a < sa:
+                    sa, sx = a, np.asarray(ang)
+                if a < best_area:
+                    best_v, best_area = v, a
+        if sx is not None and np.isfinite(sa):
+            seeds.append(sx)
+
+    # polish (theta2, theta3) with theta1 PINNED flush to its edge — the
+    # optimum keeps one side flush, so the pinned 2-D problem contains
+    # it. Nested grid refinement (robust to the kinks where the support
+    # vertex changes; Nelder-Mead stalls on them).
+    for seed in seeds:
+        t1 = float(seed[0])
+        c2, c3 = float(seed[1]), float(seed[2])
+        span = float(sweep[1] - sweep[0])
+        for _ in range(6):
+            grid2 = c2 + np.linspace(-span, span, 7)
+            grid3 = c3 + np.linspace(-span, span, 7)
+            sa = np.inf
+            for g2 in grid2:
+                for g3 in grid3:
+                    v, a = tri_from_angles((t1, g2, g3))
+                    if a < sa:
+                        sa, c2n, c3n, sv = a, g2, g3, v
+            c2, c3 = c2n, c3n
+            span /= 3.0
+            if sa < best_area:
+                best_v, best_area = sv, sa
+    return np.asarray(best_v, np.float32), float(best_area)

@@ -199,3 +199,68 @@ def emd_l1(
     f, g = lax.fori_loop(0, iters, body, (f, g))
     plan = jnp.exp((f[:, None] + g[None, :] - cost) / epsilon)
     return jnp.sum(plan * cost) * total
+
+
+# ---------------------------------------------------------------------------
+# exact EMD — transportation LP (imgproc/src/emd.cpp:1)
+
+
+def emd_exact(w1, w2, cost=None, pos1=None, pos2=None, metric="l2",
+              max_pivots=5000):
+    """cv::EMD: exact earth mover's distance between two weighted
+    signatures (imgproc/src/emd.cpp:1 — the general-cost transportation
+    solver; emd_l1/Sinkhorn above are the 1-D / entropic special cases).
+
+    Solved as Rubner's transportation LP on the framework's own exact
+    simplex (optim/minimize.py solve_lp, the cv::solveLP analog):
+        min sum c_ij f_ij   s.t.  f >= 0,
+        sum_j f_ij <= w1_i,  sum_i f_ij <= w2_j,
+        sum_ij f_ij >= min(|w1|, |w2|)
+    (with c >= 0 the total-flow bound is tight at the optimum, making
+    the inequalities equivalent to the balanced equality form).
+
+    w1 [M], w2 [N] weights; either cost [M, N] or positions pos1/pos2
+    with metric "l1" | "l2". Returns total_cost / max(|w1|, |w2|) (cv2.EMD's measured
+    normalization).
+    Host-side numpy by design: simplex pivoting is sequential control
+    (SURVEY §7(f)); signatures are histogram-bin sized.
+    """
+    import numpy as _np
+
+    from opencv_tpu.optim.minimize import solve_lp
+
+    w1 = _np.asarray(w1, _np.float64).ravel()
+    w2 = _np.asarray(w2, _np.float64).ravel()
+    if cost is None:
+        p1 = _np.asarray(pos1, _np.float64).reshape(len(w1), -1)
+        p2 = _np.asarray(pos2, _np.float64).reshape(len(w2), -1)
+        d = p1[:, None, :] - p2[None, :, :]
+        cost = (
+            _np.abs(d).sum(-1) if metric == "l1"
+            else _np.sqrt((d * d).sum(-1))
+        )
+    else:
+        cost = _np.asarray(cost, _np.float64)
+
+    keep1 = w1 > 0
+    keep2 = w2 > 0
+    w1, w2 = w1[keep1], w2[keep2]
+    cost = cost[_np.ix_(keep1, keep2)]
+    m, n = cost.shape
+    total = min(w1.sum(), w2.sum())
+    # cv2 normalizes by the LARGER total mass (emd.cpp total_weight
+    # after dummy balancing), not Rubner's min — measured convention
+    divisor = max(w1.sum(), w2.sum())
+
+    nv = m * n
+    A = _np.zeros((m + n + 1, nv))
+    for i in range(m):
+        A[i, i * n:(i + 1) * n] = 1.0  # row supply
+    for j in range(n):
+        A[m + j, j::n] = 1.0  # column demand
+    A[m + n, :] = -1.0  # -sum f <= -total
+    b = _np.concatenate([w1, w2, [-total]])
+    res = solve_lp(-cost.ravel(), A, b, max_pivots=max_pivots)
+    f = _np.asarray(res.x, _np.float64)
+    total_cost = float(cost.ravel() @ f)
+    return total_cost / max(divisor, 1e-300)

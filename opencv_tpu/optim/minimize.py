@@ -176,7 +176,10 @@ def solve_lp(c, A, b, max_pivots: int = 200) -> LPResult:
                 0,
             )
         p = cols[0]
-        ratios = np.where(T[:m, p] > 1e-9, T[:m, -1] / T[:m, p], np.inf)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratios = np.where(
+                T[:m, p] > 1e-9, T[:m, -1] / T[:m, p], np.inf
+            )
         if not np.isfinite(ratios).any():
             return LPResult(jnp.zeros(n), jnp.float32(0), 1)
         r = int(np.argmin(ratios))
