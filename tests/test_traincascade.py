@@ -1,0 +1,88 @@
+"""Cascade training end-to-end (apps/traincascade analog): train on
+synthetic object crops, evaluate with the framework's OWN cascade
+detector on held-out data at a fixed false-alarm budget.
+
+Reference: apps/traincascade/traincascade.cpp:1,
+cascadeclassifier.cpp (stage loop), boost.cpp (GAB stumps)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from opencv_tpu.ml import traincascade
+from opencv_tpu.ops import cascade as casc
+
+pytestmark = pytest.mark.slow
+
+WIN = (16, 16)
+
+
+def _make_object(rng, jitter=1.0):
+    """A bright ring on dark ground — orientation-free, Haar-friendly."""
+    wh, ww = WIN
+    yy, xx = np.mgrid[0:wh, 0:ww].astype(np.float32)
+    cy = wh / 2 - 0.5 + rng.uniform(-jitter, jitter)
+    cx = ww / 2 - 0.5 + rng.uniform(-jitter, jitter)
+    r = np.hypot(yy - cy, xx - cx)
+    ring = np.exp(-((r - 4.5) ** 2) / 3.0)
+    img = 40 + 170 * ring + rng.normal(0, 8, (wh, ww))
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+def _make_background(rng, h=80, w=80):
+    img = rng.uniform(20, 200, (h // 8, w // 8)).astype(np.float32)
+    img = np.kron(img, np.ones((8, 8), np.float32))
+    img += rng.normal(0, 12, (h, w)).astype(np.float32)
+    return np.clip(img, 0, 255).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def trained():
+    rng = np.random.default_rng(0)
+    pos = np.stack([_make_object(rng) for _ in range(400)])
+    negs = [_make_background(rng) for _ in range(40)]
+    model = traincascade.train_cascade(
+        pos, negs, window=WIN, n_stages=5, max_weak_per_stage=12,
+        n_neg_per_stage=600, pos_step=3, size_step=3, seed=1,
+    )
+    return model, rng
+
+
+def test_trained_cascade_classifies_heldout(trained):
+    model, rng = trained
+    assert len(model.stage_thresholds) >= 3
+    # held-out positives / negative crops through the DENSE evaluator
+    pos = np.stack([_make_object(rng) for _ in range(200)])
+    hits = 0
+    for p in pos:
+        acc = np.asarray(casc.cascade_score_map(jnp.asarray(p), model))
+        hits += bool(acc.any())
+    tpr = hits / len(pos)
+    wh, ww = WIN
+    fa = 0
+    n_neg = 200
+    for _ in range(n_neg):
+        bg = _make_background(rng, 2 * wh, 2 * ww)
+        crop = bg[:wh, :ww]
+        acc = np.asarray(casc.cascade_score_map(jnp.asarray(crop), model))
+        fa += bool(acc.any())
+    fpr = fa / n_neg
+    assert tpr >= 0.9, tpr
+    # stage FA budget: <= max_false_alarm^n_stages + slack; with >=3
+    # stages of 0.5 the crop-level budget is ~0.125 — allow 2x slack
+    assert fpr <= 0.3, fpr
+
+
+def test_trained_cascade_detects_in_scene(trained):
+    model, rng = trained
+    wh, ww = WIN
+    scene = _make_background(rng, 96, 128)
+    obj = _make_object(rng, jitter=0.0)
+    oy, ox = 40, 70
+    scene[oy : oy + wh, ox : ox + ww] = obj
+    acc = np.asarray(casc.cascade_score_map(jnp.asarray(scene), model))
+    ys, xs = np.nonzero(acc)
+    assert len(ys), "no detection in scene"
+    d = np.hypot(ys - oy, xs - ox).min()
+    assert d <= 3.0, (d, list(zip(ys, xs))[:5])
