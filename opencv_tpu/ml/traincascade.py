@@ -340,3 +340,221 @@ def train_cascade(
 
     used = sorted(set(pool_idx))
     return model_from(stages, sthrs, used)
+
+
+# ----------------------------------------------------------- LBP variant
+
+
+def lbp_feature_pool(window=(24, 24), pos_step=2, size_step=1) -> np.ndarray:
+    """LBP cell-rect pool (lbpfeatures.cpp): every (x, y, cw, ch) whose
+    3x3 cell grid fits the window. [F, 4] i32."""
+    wh, ww = window
+    out = []
+    for cw in range(1, ww // 3 + 1, size_step):
+        for ch in range(1, wh // 3 + 1, size_step):
+            for x in range(0, ww - 3 * cw + 1, pos_step):
+                for y in range(0, wh - 3 * ch + 1, pos_step):
+                    out.append((x, y, cw, ch))
+    return np.asarray(out, np.int32)
+
+
+def _lbp_codes(samples: np.ndarray, rects: np.ndarray) -> jnp.ndarray:
+    """[N, F] 8-bit LBP codes, reference bit order (LBPEvaluator::calc,
+    same order as ops/cascade.py's evaluator)."""
+    x = jnp.asarray(samples, jnp.float32)
+    ii = jax.vmap(imgproc.integral)(x)  # [N, wh+1, ww+1]
+    x0 = jnp.asarray(rects[:, 0])
+    y0 = jnp.asarray(rects[:, 1])
+    cw = jnp.asarray(rects[:, 2])
+    ch = jnp.asarray(rects[:, 3])
+    gy = y0[:, None] + ch[:, None] * jnp.arange(4)[None, :]  # [F, 4]
+    gx = x0[:, None] + cw[:, None] * jnp.arange(4)[None, :]
+    corners = ii[:, gy[:, :, None], gx[:, None, :]]  # [N, F, 4, 4]
+    cells = (
+        corners[:, :, 1:, 1:] - corners[:, :, :-1, 1:]
+        - corners[:, :, 1:, :-1] + corners[:, :, :-1, :-1]
+    )  # [N, F, 3, 3]
+    center = cells[:, :, 1, 1]
+    bits = {(0, 0): 7, (0, 1): 6, (0, 2): 5, (1, 2): 4, (2, 2): 3,
+            (2, 1): 2, (2, 0): 1, (1, 0): 0}
+    code = jnp.zeros(center.shape, jnp.int32)
+    for (r, c), b in bits.items():
+        code = code | ((cells[:, :, r, c] >= center).astype(jnp.int32) << b)
+    return code
+
+
+def _fit_lbp_stumps_all(codes, y, w):
+    """Categorical GAB stump for every LBP feature at once: per feature,
+    per-code weighted means; the optimal two-leaf partition of a
+    categorical variable under squared error splits the codes SORTED by
+    their weighted mean (the classic Breiman trick) — one cumsum scan.
+
+    codes [N, F] int 0..255. Returns (err, subset_mask [F, 256] bool
+    = codes assigned to the LEFT leaf, left [F], right [F])."""
+    n, f = codes.shape
+    flat = (jnp.arange(f)[None, :] * 256 + codes).reshape(-1)
+    wsum = jnp.zeros((f * 256,), jnp.float32).at[flat].add(
+        jnp.broadcast_to(w[:, None], (n, f)).reshape(-1)
+    ).reshape(f, 256)
+    wysum = jnp.zeros((f * 256,), jnp.float32).at[flat].add(
+        jnp.broadcast_to((w * y)[:, None], (n, f)).reshape(-1)
+    ).reshape(f, 256)
+    mean = wysum / jnp.maximum(wsum, 1e-12)
+    mean = jnp.where(wsum > 0, mean, 0.0)  # empty codes: neutral
+    order = jnp.argsort(mean, axis=1)  # [F, 256]
+    sw = jnp.take_along_axis(wsum, order, axis=1)
+    swy = jnp.take_along_axis(wysum, order, axis=1)
+    cw_ = jnp.cumsum(sw, axis=1)[:, :-1]  # weight left of split k
+    cwy = jnp.cumsum(swy, axis=1)[:, :-1]
+    tw = jnp.sum(sw, axis=1, keepdims=True)
+    twy = jnp.sum(swy, axis=1, keepdims=True)
+    rw = tw - cw_
+    rwy = twy - cwy
+    gain = cwy**2 / jnp.maximum(cw_, 1e-12) + rwy**2 / jnp.maximum(rw, 1e-12)
+    gain = jnp.where((cw_ > 1e-12) & (rw > 1e-12), gain, -jnp.inf)
+    k = jnp.argmax(gain, axis=1)  # [F]
+    ar = jnp.arange(f)
+    err = jnp.sum(w) - gain[ar, k]
+    left = cwy[ar, k] / jnp.maximum(cw_[ar, k], 1e-12)
+    right = rwy[ar, k] / jnp.maximum(rw[ar, k], 1e-12)
+    # subset = sorted codes [0..k] per feature
+    rank = jnp.argsort(order, axis=1)  # rank of each code in the sort
+    subset = rank <= k[:, None]  # [F, 256]
+    return err, subset, left, right
+
+
+_fit_lbp_stumps_all_jit = jax.jit(_fit_lbp_stumps_all)
+
+
+def _subset_words(mask256: np.ndarray) -> np.ndarray:
+    """[256] bool -> [8] u32 words (evaluator layout: word = code>>5,
+    bit = code & 31)."""
+    w = np.zeros(8, np.uint32)
+    for code in np.nonzero(mask256)[0]:
+        w[code >> 5] |= np.uint32(1) << np.uint32(code & 31)
+    return w
+
+
+def train_cascade_lbp(
+    positives: np.ndarray,
+    negative_images: list[np.ndarray],
+    window=(24, 24),
+    n_stages: int = 8,
+    min_hit_rate: float = 0.995,
+    max_false_alarm: float = 0.5,
+    max_weak_per_stage: int = 20,
+    n_neg_per_stage: int = 1000,
+    pos_step: int = 2,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """traincascade -featureType LBP analog. Emits ops/cascade.py's
+    LBPCascadeModel (subset-stump cascade, no window normalization)."""
+    from opencv_tpu.ops.cascade import LBPCascadeModel
+
+    rng = np.random.default_rng(seed)
+    wh, ww = window
+    rects = lbp_feature_pool(window, pos_step)
+    pos_codes = _lbp_codes(positives, rects)
+
+    def random_crops(n):
+        out = np.empty((n, wh, ww), np.float32)
+        for i in range(n):
+            img = negative_images[rng.integers(len(negative_images))]
+            yy = rng.integers(0, img.shape[0] - wh + 1)
+            xx = rng.integers(0, img.shape[1] - ww + 1)
+            out[i] = img[yy : yy + wh, xx : xx + ww]
+        return out
+
+    stages, sthrs = [], []
+
+    def crop_scores_per_stage(codes):
+        """[n_stages][N] stage sums for crops with the current model."""
+        out = []
+        for st in stages:
+            ssum = np.zeros(codes.shape[0], np.float32)
+            for (fidx, subset, lv, rv) in st:
+                c = np.asarray(codes[:, fidx])
+                hit = subset[c]
+                ssum += np.where(hit, lv, rv)
+            out.append(ssum)
+        return out
+
+    def passes(codes):
+        ok = np.ones(codes.shape[0], bool)
+        for ssum, sthr in zip(crop_scores_per_stage(codes), sthrs):
+            ok &= ssum >= sthr
+        return ok
+
+    neg = random_crops(n_neg_per_stage)
+    for si in range(n_stages):
+        neg_codes = _lbp_codes(neg, rects)
+        codes = jnp.concatenate([pos_codes, neg_codes], axis=0)
+        n_pos, n_neg_cur = pos_codes.shape[0], neg_codes.shape[0]
+        y = jnp.concatenate([
+            jnp.ones((n_pos,), jnp.float32),
+            -jnp.ones((n_neg_cur,), jnp.float32),
+        ])
+        w = jnp.concatenate([
+            jnp.full((n_pos,), 0.5 / n_pos),
+            jnp.full((n_neg_cur,), 0.5 / n_neg_cur),
+        ])
+        scores = jnp.zeros(codes.shape[0], jnp.float32)
+        st = []
+        for _ in range(max_weak_per_stage):
+            err, subset, left, right = _fit_lbp_stumps_all_jit(codes, y, w)
+            fb = int(jnp.argmin(err))
+            sub = np.asarray(subset[fb])
+            lv, rv = float(left[fb]), float(right[fb])
+            st.append((fb, sub, lv, rv))
+            hit = subset[fb][codes[:, fb]]
+            pred = jnp.where(hit, lv, rv)
+            scores = scores + pred
+            w = w * jnp.exp(-y * pred)
+            w = w / jnp.sum(w)
+            ps = np.sort(np.asarray(scores[:n_pos]))
+            k = int(np.floor((1.0 - min_hit_rate) * n_pos))
+            sthr = float(ps[k]) - 1e-6
+            fa = float(np.mean(np.asarray(scores[n_pos:]) >= sthr))
+            if fa <= max_false_alarm:
+                break
+        stages.append(st)
+        sthrs.append(sthr)
+        if verbose:
+            print(f"stage {si}: {len(st)} stumps, fa={fa:.3f}")
+        if si == n_stages - 1:
+            break
+        mined, need = [], n_neg_per_stage
+        for _ in range(60):
+            cand = random_crops(4 * n_neg_per_stage)
+            keep = passes(_lbp_codes(cand, rects))
+            mined.append(cand[keep])
+            if sum(m.shape[0] for m in mined) >= need:
+                break
+        got = np.concatenate(mined) if mined else np.zeros((0, wh, ww))
+        if got.shape[0] < max(32, need // 20):
+            if verbose:
+                print(f"stage {si}: negatives exhausted — stopping")
+            break
+        neg = got[:need]
+
+    feature, subsets, left, right, offs = [], [], [], [], [0]
+    used = sorted({f for st in stages for (f, _, _, _) in st})
+    remap = {f: i for i, f in enumerate(used)}
+    for st in stages:
+        for (f, sub, lv, rv) in st:
+            feature.append(remap[f])
+            subsets.append(_subset_words(sub))
+            left.append(lv)
+            right.append(rv)
+        offs.append(len(feature))
+    return LBPCascadeModel(
+        window=window,
+        rects=rects[np.asarray(used, np.int64)],
+        feature=np.asarray(feature, np.int32),
+        subsets=np.stack(subsets).astype(np.uint32),
+        left=np.asarray(left, np.float32),
+        right=np.asarray(right, np.float32),
+        stage_offsets=np.asarray(offs, np.int32),
+        stage_thresholds=np.asarray(sthrs, np.float32),
+    )

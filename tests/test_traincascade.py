@@ -86,3 +86,36 @@ def test_trained_cascade_detects_in_scene(trained):
     assert len(ys), "no detection in scene"
     d = np.hypot(ys - oy, xs - ox).min()
     assert d <= 3.0, (d, list(zip(ys, xs))[:5])
+
+
+def test_trained_lbp_cascade(trained):
+    """LBP variant (-featureType LBP): train, then evaluate held-out
+    crops with the framework's LBP score machinery."""
+    from opencv_tpu.ml.traincascade import train_cascade_lbp
+    from opencv_tpu.ops.cascade import _lbp_scale_impl
+
+    rng = np.random.default_rng(3)
+    pos = np.stack([_make_object(rng) for _ in range(300)])
+    negs = [_make_background(rng) for _ in range(30)]
+    model = train_cascade_lbp(
+        pos, negs, window=WIN, n_stages=4, max_weak_per_stage=10,
+        n_neg_per_stage=500, pos_step=2, seed=2,
+    )
+    assert len(model.stage_thresholds) >= 3
+
+    hits = 0
+    pos_hold = np.stack([_make_object(rng) for _ in range(150)])
+    for p in pos_hold:
+        acc = np.asarray(_lbp_scale_impl(jnp.asarray(p), model))
+        hits += bool(acc.any())
+    tpr = hits / len(pos_hold)
+    fa = 0
+    for _ in range(150):
+        bg = _make_background(rng, 2 * WIN[0], 2 * WIN[1])
+        acc = np.asarray(
+            _lbp_scale_impl(jnp.asarray(bg[: WIN[0], : WIN[1]]), model)
+        )
+        fa += bool(acc.any())
+    fpr = fa / 150
+    assert tpr >= 0.9, tpr
+    assert fpr <= 0.35, fpr
