@@ -274,43 +274,33 @@ def bench_config2(frames_np):
     return n_frames / dt, dt, cost
 
 
-def make_config2b_clip_pass(lk, lk_cfg, detect, chunk):
+def make_config2b_clip_pass(lk, lk_cfg, detect):
     def clip_pass(frames):
         pyrs = jax.vmap(lambda f: lk.build_flow_pyramid(f, lk_cfg))(frames)
-        prev = jax.tree.map(lambda a: a[:-1].reshape((-1, chunk) + a.shape[1:]), pyrs)
-        nxt = jax.tree.map(lambda a: a[1:].reshape((-1, chunk) + a.shape[1:]), pyrs)
-
-        def pair_chunk(_, chunk_pyrs):
-            prev_c, next_c = chunk_pyrs
-            xy, valid = jax.vmap(lambda p: detect(p[0][0]))(prev_c)
-            _, status, _ = jax.vmap(
-                lambda a, b, x, v: lk.calc_optical_flow_pyr_lk_pyr(
-                    a, b, x, v, lk_cfg
-                )
-            )(prev_c, next_c, xy, valid)
-            return None, jnp.sum(status, axis=1)
-
-        _, counts = lax.scan(pair_chunk, None, (prev, nxt))
-        return counts.reshape(-1)
+        xy, valid = jax.vmap(detect)(frames[:-1])
+        _, status, _ = lk.calc_optical_flow_pyr_lk_pairs(
+            pyrs, xy, valid, lk_cfg
+        )
+        return jnp.sum(status, axis=1)
 
     return clip_pass
 
 
-def bench_config2_batched(frames_np, chunk=11):
+def bench_config2_batched(frames_np):
     """Config 2b: the same per-frame workload as config 2 (GFTT detect on
-    every frame + pyramidal LK to the next), restructured for chip
-    throughput: on this clip every frame re-detects (survivor count is
-    always < the 500 threshold — equivalence with the sequential chain is
+    every frame + pyramidal LK to the next), restructured as the
+    batched-pairs program (ops/lk.py calc_optical_flow_pyr_lk_pairs,
+    bitwise-equal to the per-pair chain): valid on this clip because
+    every frame re-detects (survivor count always < the 500 threshold —
     asserted in tests/test_lk.py::test_config2b_batched_equivalence, NOT
-    re-proven here where it would cost an extra cold compile), so
-    consecutive pairs carry no state and batch cleanly — the TPU-first
-    shape, like config3b's vmap x8. Pairs run in chunks of `chunk` via
-    scan(vmap) to bound the patch-cache working set."""
+    re-proven here where it would cost an extra cold compile). Currently
+    SLOWER than the sequential scan (see DESIGN.md §2b roofline notes:
+    the batched pairs program is HBM-bound at ~10x the sequential
+    traffic) — kept measured and reported rather than hidden."""
     lk, lk_cfg, detect = _config2_parts()
     frames = jnp.asarray(frames_np)  # [F,H,W]
     n_frames = frames.shape[0]
-    assert (n_frames - 1) % chunk == 0, "chunk must divide the pair count"
-    clip_pass = make_config2b_clip_pass(lk, lk_cfg, detect, chunk)
+    clip_pass = make_config2b_clip_pass(lk, lk_cfg, detect)
 
     def run(n):
         def body(i, carry):
@@ -594,7 +584,7 @@ def main():
         row = {
             "metric": "config2b_pyrlk_clip100_batched_frames_per_s",
             "value": round(fps2b, 2),
-            "unit": "frames/s/chip (11-pair chunks)",
+            "unit": "frames/s/chip (batched pairs)",
             **vs(fps2b, "config2"),
         }
         results.append(_roofline(row, dt2b, cost2b))

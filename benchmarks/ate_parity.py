@@ -280,51 +280,118 @@ def run_repo_vo(frames, K, n_features=2000, enable_loop=True):
 # ------------------------------------------------------------------ main
 
 
-def evaluate(name, frames, gt, K, n_features=2000):
+def _shapes(small):
+    if small:
+        return 240, 320, 100, 100
+    return 480, 640, 200, 220
+
+
+def _render(seq, small):
+    h, w, n_fwd, n_loop = _shapes(small)
+    if seq == "forward_dolly":
+        return render_forward(h, w, n_fwd)
+    return render_loop(h, w, n_loop)
+
+
+def run_one(seq, pipeline, small, out_path):
+    """Child-process entry: render the sequence (deterministic), run ONE
+    pipeline, dump {traj, ate, wall_s}. Process isolation exists because
+    a 640x480 engine's program set exhausts XLA:CPU's LLVM JIT section
+    memory when stacked with a second engine run in one process (the
+    known crash documented in COVERAGE.md)."""
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("OPENCV_TPU_CACHE",
+                       os.path.expanduser("~/.cache/opencv_tpu_jax")),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if pipeline == "cv2" or small:
+        # the cv2 child only needs jnp for rendering; the SMALL repo
+        # config fits the CPU lane (the slow test uses it). The
+        # FULL-SIZE repo engine runs on the TPU: at 640x480 its program
+        # set exhausts XLA:CPU's LLVM JIT section memory (SIGSEGV — the
+        # crash class documented in COVERAGE.md), while the TPU path
+        # compiles remotely and reuses the persistent cache.
+        jax.config.update("jax_platforms", "cpu")
+    frames, gt, K = _render(seq, small)
     from opencv_tpu.utils.evaluate import ate_rmse
 
     t0 = time.time()
-    traj_cv2 = run_cv2_vo(frames, K, n_features)
-    t_cv2 = time.time() - t0
-    t0 = time.time()
-    traj_repo, engine = run_repo_vo(frames, K, n_features)
-    t_repo = time.time() - t0
-    ate_cv2 = ate_rmse(traj_cv2, gt)
-    ate_repo = ate_rmse(traj_repo, gt)
-    row = {
-        "sequence": name,
+    if pipeline == "cv2":
+        traj = run_cv2_vo(frames, K)
+        extra = {}
+    else:
+        traj, engine = run_repo_vo(frames, K)
+        extra = {
+            "repo_state": engine.state,
+            "repo_loop_closures": int(getattr(engine, "loop_closures", 0)),
+        }
+    wall = time.time() - t0
+    payload = {
+        "seq": seq,
+        "pipeline": pipeline,
+        "ate": ate_rmse(traj, gt),
+        "wall_s": round(wall, 1),
         "frames": int(frames.shape[0]),
         "resolution": [int(frames.shape[1]), int(frames.shape[2])],
-        "ate_cv2": round(ate_cv2, 4),
-        "ate_repo": round(ate_repo, 4),
-        "ratio_repo_over_cv2": round(ate_repo / max(ate_cv2, 1e-9), 4),
-        "wall_s_cv2": round(t_cv2, 1),
-        "wall_s_repo": round(t_repo, 1),
-        "repo_state": engine.state,
-        "repo_loop_closures": int(getattr(engine, "loop_closures", 0)),
+        **extra,
     }
-    print(json.dumps(row), flush=True)
-    return row
+    with open(out_path, "w") as f:
+        json.dump(payload, f)
+    print(json.dumps(payload), flush=True)
 
 
 def main():
+    import subprocess
+    import tempfile
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true",
                     help="reduced shapes (the test lane's config)")
     ap.add_argument("--out", default=os.path.join(REPO, "benchmarks",
                                                   "ate_parity.json"))
+    ap.add_argument("--run-one", nargs=3, metavar=("SEQ", "PIPE", "OUT"),
+                    help="internal: run one (sequence, pipeline) child")
     args = ap.parse_args()
 
-    if args.small:
-        h, w, n_fwd, n_loop = 240, 320, 100, 100
-    else:
-        h, w, n_fwd, n_loop = 480, 640, 200, 220
+    if args.run_one:
+        seq, pipe, out = args.run_one
+        run_one(seq, pipe, args.small, out)
+        return
 
     rows = []
-    frames, gt, K = render_forward(h, w, n_fwd)
-    rows.append(evaluate("forward_dolly", frames, gt, K))
-    frames, gt, K = render_loop(h, w, n_loop)
-    rows.append(evaluate("closed_loop_orbit", frames, gt, K))
+    for seq in ("forward_dolly", "closed_loop_orbit"):
+        parts = {}
+        for pipe in ("cv2", "repo"):
+            with tempfile.NamedTemporaryFile(suffix=".json",
+                                             delete=False) as f:
+                tmp = f.name
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--run-one", seq, pipe, tmp]
+            if args.small:
+                cmd.append("--small")
+            subprocess.run(cmd, check=True)
+            with open(tmp) as f:
+                parts[pipe] = json.load(f)
+            os.unlink(tmp)
+        row = {
+            "sequence": seq,
+            "frames": parts["cv2"]["frames"],
+            "resolution": parts["cv2"]["resolution"],
+            "ate_cv2": round(parts["cv2"]["ate"], 4),
+            "ate_repo": round(parts["repo"]["ate"], 4),
+            "ratio_repo_over_cv2": round(
+                parts["repo"]["ate"] / max(parts["cv2"]["ate"], 1e-9), 4
+            ),
+            "wall_s_cv2": parts["cv2"]["wall_s"],
+            "wall_s_repo": parts["repo"]["wall_s"],
+            "repo_state": parts["repo"].get("repo_state"),
+            "repo_loop_closures": parts["repo"].get("repo_loop_closures"),
+        }
+        print(json.dumps(row), flush=True)
+        rows.append(row)
 
     payload = {
         "note": "Sim(3)-aligned ATE-RMSE, identical rendered frames, "

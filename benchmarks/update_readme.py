@@ -21,7 +21,7 @@ _LABEL = {
     "config2_pyrlk_clip100_frames_per_s":
         "2: pyramidal LK over a 100-frame clip",
     "config2b_pyrlk_clip100_batched_frames_per_s":
-        "2b: the same LK workload, pairs batched",
+        "2b: the same LK workload, batched pairs (lk_pairs)",
     "config3_two_view_odometry_pairs_per_s":
         "3: two-view odometry (E-RANSAC + pose + triangulation + PnP)",
     "config3b_two_view_odometry_batched8_pairs_per_s":

@@ -132,50 +132,42 @@ def _extract_patches(
     return out
 
 
-def _track_level_patch(
-    prev_img: jnp.ndarray,
-    next_img: jnp.ndarray,
-    dx: jnp.ndarray,
-    dy: jnp.ndarray,
-    base_pts: jnp.ndarray,
-    guess_pts: jnp.ndarray,
-    cfg: LKConfig,
-    iter_precision=_PS_ITER,
-) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Patch-cached LK level (see module docstring phase split).
+from typing import NamedTuple
 
-    Schedule (measured on v5e): templates sampled DENSE once (iw at HIGH
-    for the polish, gradients at iteration precision — they only build G
-    and the mismatch projections); the Newton loop samples J from a
-    single-bf16 cached patch (iteration precision is bf16 anyway, so the
-    hi/lo split would buy nothing); the final polish + residual is ONE
-    dense HIGH sample at the converged position, which also restores
-    exact full-image semantics for any point that hit the patch clamp.
-    """
+
+class _Tmpl(NamedTuple):
+    """Prev-side level state, computable BEFORE seeing the next frame:
+    template windows, gradient normal matrix, and the min-eig gate. The
+    phase split exists so batch/pairs callers can build templates for
+    MANY frames with the stacked pyramid as a loop-invariant operand —
+    the banded template einsum falls off XLA's fast path when its image
+    operand is dynamically sliced (measured 3.3x on v5e)."""
+
+    iw: jnp.ndarray   # [N, win, win] template intensities (HIGH)
+    ix: jnp.ndarray   # [N, win, win] template x-gradients
+    iy: jnp.ndarray   # [N, win, win] template y-gradients
+    gxx: jnp.ndarray  # [N]
+    gxy: jnp.ndarray
+    gyy: jnp.ndarray
+    safe_det: jnp.ndarray
+    min_eig: jnp.ndarray
+    ok: jnp.ndarray
+
+
+def _level_templates(
+    prev_img, dx, dy, base_pts, cfg: LKConfig, iter_precision=_PS_ITER
+) -> _Tmpl:
+    """Shared template phase (both patch and dense iterate paths):
+    intensity at HIGH (feeds the final polish), gradients at iteration
+    precision (they only build G and the mismatch projections)."""
     win = cfg.win_size
-    p = _PATCH
-    n = base_pts.shape[0]
     area = float(win * win)
     h, w = prev_img.shape
-    half = win // 2
-    lo_lim = jnp.float32(half)
-    hi_lim = jnp.float32(p - half - 2)
-
-    # ---- templates: dense banded sampling, once
     wy_b = _interp_weights(base_pts[:, 1], win, h)
     wx_b = _interp_weights(base_pts[:, 0], win, w)
     iw = _sample_windows(prev_img, wy_b, wx_b, _PS)
     ix = _sample_windows(dx, wy_b, wx_b, iter_precision)
     iy = _sample_windows(dy, wy_b, wx_b, iter_precision)
-
-    # ---- J patches at integer offsets around the initial guess (bf16)
-    jy0 = jnp.clip(jnp.round(guess_pts[:, 1]).astype(jnp.int32) - p // 2, 0, h - p)
-    jx0 = jnp.clip(jnp.round(guess_pts[:, 0]).astype(jnp.int32) - p // 2, 0, w - p)
-    next_patch = _extract_patches(
-        next_img.astype(jnp.bfloat16)[None], jy0, jx0, p
-    )[0]
-    joff = jnp.stack([jx0, jy0], axis=-1).astype(jnp.float32)  # (x, y)
-
     gxx = jnp.sum(ix * ix, axis=(1, 2))
     gxy = jnp.sum(ix * iy, axis=(1, 2))
     gyy = jnp.sum(iy * iy, axis=(1, 2))
@@ -184,6 +176,38 @@ def _track_level_patch(
     min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) * 0.5 / area
     ok = min_eig > cfg.min_eig_threshold
     safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    return _Tmpl(iw, ix, iy, gxx, gxy, gyy, safe_det, min_eig, ok)
+
+
+def _patch_origin(guess_pts, h, w):
+    """Integer patch origins around the level-entry guesses + the f32
+    offset (x, y) mapping patch-local coords back to image coords."""
+    p = _PATCH
+    jy0 = jnp.clip(jnp.round(guess_pts[:, 1]).astype(jnp.int32) - p // 2, 0, h - p)
+    jx0 = jnp.clip(jnp.round(guess_pts[:, 0]).astype(jnp.int32) - p // 2, 0, w - p)
+    joff = jnp.stack([jx0, jy0], axis=-1).astype(jnp.float32)
+    return jy0, jx0, joff
+
+
+def _patch_iterate(
+    t: _Tmpl,
+    next_patch,
+    joff,
+    guess_pts,
+    next_img,
+    cfg: LKConfig,
+    iter_precision=_PS_ITER,
+):
+    """Newton loop + straggler compaction + ONE dense HIGH polish, all
+    J samples from the cached patch (see _track_level_patch docstring)."""
+    win = cfg.win_size
+    p = _PATCH
+    n = guess_pts.shape[0]
+    half = win // 2
+    lo_lim = jnp.float32(half)
+    hi_lim = jnp.float32(p - half - 2)
+    iw, ix, iy = t.iw, t.ix, t.iy
+    gxx, gxy, gyy, safe_det, ok = t.gxx, t.gxy, t.gyy, t.safe_det, t.ok
 
     def clamp_local(g_loc):
         return jnp.clip(g_loc, lo_lim, hi_lim)
@@ -293,43 +317,53 @@ def _track_level_patch(
         ok[:, None], guess + jnp.stack([d_x, d_y], -1), guess
     )
     residual = jnp.mean(jnp.abs(diff), axis=(1, 2))
-    return guess, min_eig, residual
+    return guess, t.min_eig, residual
 
 
-def _track_level_dense(
+def _track_level_patch(
     prev_img: jnp.ndarray,
     next_img: jnp.ndarray,
     dx: jnp.ndarray,
     dy: jnp.ndarray,
-    base_pts: jnp.ndarray,  # [N,2] point positions in prev at this level
-    guess_pts: jnp.ndarray,  # [N,2] current estimates in next at this level
+    base_pts: jnp.ndarray,
+    guess_pts: jnp.ndarray,
     cfg: LKConfig,
     iter_precision=_PS_ITER,
 ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """One pyramid level of LK, dense full-image sampling (fallback for
-    levels smaller than the cache patch). Returns (guess, min_eig, res)."""
+    """Patch-cached LK level (see module docstring phase split).
+
+    Schedule (measured on v5e): templates sampled DENSE once (iw at HIGH
+    for the polish, gradients at iteration precision — they only build G
+    and the mismatch projections); the Newton loop samples J from a
+    single-bf16 cached patch (iteration precision is bf16 anyway, so the
+    hi/lo split would buy nothing); the final polish + residual is ONE
+    dense HIGH sample at the converged position, which also restores
+    exact full-image semantics for any point that hit the patch clamp.
+    """
+    h, w = prev_img.shape
+    t = _level_templates(prev_img, dx, dy, base_pts, cfg, iter_precision)
+    jy0, jx0, joff = _patch_origin(guess_pts, h, w)
+    next_patch = _extract_patches(
+        next_img.astype(jnp.bfloat16)[None], jy0, jx0, _PATCH
+    )[0]
+    return _patch_iterate(
+        t, next_patch, joff, guess_pts, next_img, cfg, iter_precision
+    )
+
+
+def _dense_iterate(
+    t: _Tmpl,
+    next_img,
+    guess_pts,
+    cfg: LKConfig,
+    iter_precision=_PS_ITER,
+):
+    """Newton loop + compaction + polish with dense full-image sampling
+    (levels smaller than the cache patch)."""
     win = cfg.win_size
-    n = base_pts.shape[0]
-    area = float(win * win)
-
-    # fixed prev-image windows, sampled once: intensity at HIGH (feeds
-    # the final polish), gradients at iteration precision (they only
-    # build G and the mismatch projections — bf16 noise there moves the
-    # converged point by well under eps)
-    wy_b = _interp_weights(base_pts[:, 1], win, prev_img.shape[0])
-    wx_b = _interp_weights(base_pts[:, 0], win, prev_img.shape[1])
-    iw = _sample_windows(prev_img, wy_b, wx_b, _PS)
-    ix = _sample_windows(dx, wy_b, wx_b, iter_precision)
-    iy = _sample_windows(dy, wy_b, wx_b, iter_precision)
-
-    gxx = jnp.sum(ix * ix, axis=(1, 2))
-    gxy = jnp.sum(ix * iy, axis=(1, 2))
-    gyy = jnp.sum(iy * iy, axis=(1, 2))
-    det = gxx * gyy - gxy * gxy
-    tr = gxx + gyy
-    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4.0 * det, 0.0))) * 0.5 / area
-    ok = min_eig > cfg.min_eig_threshold
-    safe_det = jnp.where(jnp.abs(det) < 1e-12, 1.0, det)
+    n = guess_pts.shape[0]
+    iw, ix, iy = t.iw, t.ix, t.iy
+    gxx, gxy, gyy, safe_det, ok = t.gxx, t.gxy, t.gyy, t.safe_det, t.ok
 
     def newton_step(guess, precision):
         jw = _sample_at(next_img, guess, win, precision)
@@ -438,7 +472,23 @@ def _track_level_dense(
     )
     guess = jnp.where(ok[:, None], guess + delta, guess)
     residual = jnp.mean(jnp.abs(diff), axis=(1, 2))
-    return guess, min_eig, residual
+    return guess, t.min_eig, residual
+
+
+def _track_level_dense(
+    prev_img: jnp.ndarray,
+    next_img: jnp.ndarray,
+    dx: jnp.ndarray,
+    dy: jnp.ndarray,
+    base_pts: jnp.ndarray,  # [N,2] point positions in prev at this level
+    guess_pts: jnp.ndarray,  # [N,2] current estimates in next at this level
+    cfg: LKConfig,
+    iter_precision=_PS_ITER,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One pyramid level of LK, dense full-image sampling (fallback for
+    levels smaller than the cache patch). Returns (guess, min_eig, res)."""
+    t = _level_templates(prev_img, dx, dy, base_pts, cfg, iter_precision)
+    return _dense_iterate(t, next_img, guess_pts, cfg, iter_precision)
 
 
 # patch-path crossover (measured on v5e, 512 pts): within-patch iteration
@@ -533,3 +583,127 @@ def calc_optical_flow_pyr_lk(
     pyr_prev = build_flow_pyramid(prev_img, cfg)
     pyr_next = build_flow_pyramid(next_img, cfg)
     return calc_optical_flow_pyr_lk_pyr(pyr_prev, pyr_next, pts, pts_valid, cfg)
+
+
+def calc_optical_flow_pyr_lk_pairs(
+    stacked_pyrs,
+    pts: jnp.ndarray,
+    pts_valid: jnp.ndarray | None = None,
+    cfg: LKConfig = LKConfig(),
+    phase1_chunk: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Track EVERY consecutive frame pair of a clip at once — the
+    batched-pairs analog of calc_optical_flow_pyr_lk_pyr for workloads
+    where pairs carry no state (e.g. per-frame re-detection, the
+    reference's GFTT+LK loop on clips that never keep 500 tracks).
+
+    stacked_pyrs: vmapped build_flow_pyramid output — a tuple per level
+    of (imgs [F,h,w], dx [F,h,w], dy [F,h,w]). pts [F-1, N, 2]: points
+    in frame t to track into frame t+1; pts_valid [F-1, N].
+
+    Phase-split schedule (measured on v5e): the template/gradient einsum
+    falls off XLA's fast lowering when its image operand is dynamically
+    sliced inside a scan (3.3x slower — the cost that made the naive
+    scan-of-pairs SLOWER than the sequential chain), so templates and
+    target patches for ALL pairs are built with the stacked level arrays
+    as loop-invariant operands (vmap), and only the latency-cheap Newton
+    loops + polish run in the per-pair scan (next-image polish reads via
+    dynamic_index are ~free: +0.1 ms measured)."""
+    n_pairs = pts.shape[0]
+    if pts_valid is None:
+        pts_valid = jnp.ones(pts.shape[:2], bool)
+    h, w = stacked_pyrs[0][0].shape[1:]
+
+    top = cfg.n_levels - 1
+    guess = pts / (2.0 ** top)  # [P, N, 2]
+    err = jnp.zeros(pts.shape[:2], jnp.float32)
+    min_eig0 = None
+    for lvl in range(top, -1, -1):
+        imgs, dxs, dys = stacked_pyrs[lvl]
+        prev_imgs = imgs[:-1]
+        prev_dx = dxs[:-1]
+        prev_dy = dys[:-1]
+        next_imgs = imgs[1:]
+        base = pts / (2.0 ** lvl)
+        lh, lw = imgs.shape[1:]
+
+        # ---- phase 1 (vmapped, constant operands): templates + patches.
+        # Chunked with STATIC slices: full-width vmap materializes the
+        # [P, N, win, H] banded weight tensors for every pair at once
+        # (measured 10x the sequential HBM traffic); static chunk slices
+        # stay constant-foldable (no dynamic-slice fast-path loss) while
+        # bounding the transient weight working set.
+        ck = phase1_chunk or max(1, min(n_pairs, 8))
+        use_patch = min(lh, lw) >= _PATCH and lh * lw >= _PATCH_MIN_AREA
+
+        def phase1(c0, c1):
+            t = jax.vmap(
+                lambda p_im, p_dx, p_dy, b: _level_templates(
+                    p_im, p_dx, p_dy, b, cfg
+                )
+            )(prev_imgs[c0:c1], prev_dx[c0:c1], prev_dy[c0:c1], base[c0:c1])
+            if not use_patch:
+                return t, None, None
+            jy0, jx0, joff_c = jax.vmap(
+                lambda g: _patch_origin(g, lh, lw)
+            )(guess[c0:c1])
+            pat = jax.vmap(
+                lambda im, y0, x0: _extract_patches(
+                    im.astype(jnp.bfloat16)[None], y0, x0, _PATCH
+                )[0]
+            )(next_imgs[c0:c1], jy0, jx0)
+            return t, pat, joff_c
+
+        parts = [
+            phase1(c0, min(c0 + ck, n_pairs))
+            for c0 in range(0, n_pairs, ck)
+        ]
+        tmpl = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs), *[p[0] for p in parts]
+        )
+        if use_patch:
+            patches = jnp.concatenate([p[1] for p in parts])
+            joff = jnp.concatenate([p[2] for p in parts])
+
+        # ---- phase 2 (scan over pairs): latency-cheap iteration loops
+        if use_patch:
+            def step(carry, xs):
+                t_i, patch, joff_i, g_in, idx = xs
+                nxt = lax.dynamic_index_in_dim(
+                    next_imgs, idx, 0, keepdims=False
+                )
+                g, me, res = _patch_iterate(
+                    t_i, patch, joff_i, g_in, nxt, cfg
+                )
+                return carry, (g, me, res)
+
+            _, (guess, me, res) = lax.scan(
+                step, None,
+                (tmpl, patches, joff, guess, jnp.arange(n_pairs)),
+            )
+        else:
+            def step(carry, xs):
+                t_i, g_in, idx = xs
+                nxt = lax.dynamic_index_in_dim(
+                    next_imgs, idx, 0, keepdims=False
+                )
+                g, me, res = _dense_iterate(t_i, nxt, g_in, cfg)
+                return carry, (g, me, res)
+
+            _, (guess, me, res) = lax.scan(
+                step, None, (tmpl, guess, jnp.arange(n_pairs))
+            )
+        err = res
+        if lvl > 0:
+            guess = guess * 2.0
+        else:
+            min_eig0 = me
+
+    status = pts_valid & (min_eig0 > cfg.min_eig_threshold)
+    inside = (
+        (guess[..., 0] >= 0.0)
+        & (guess[..., 0] <= w - 1.0)
+        & (guess[..., 1] >= 0.0)
+        & (guess[..., 1] <= h - 1.0)
+    )
+    return guess, status & inside, err

@@ -173,7 +173,7 @@ def test_config2b_batched_equivalence():
     if clip is None:
         pytest.skip("committed megamind clip missing")
     lkmod, lk_cfg, detect = bench._config2_parts()
-    clip_pass = bench.make_config2b_clip_pass(lkmod, lk_cfg, detect, chunk=11)
+    clip_pass = bench.make_config2b_clip_pass(lkmod, lk_cfg, detect)
     counts = np.asarray(jax.jit(clip_pass)(jnp.asarray(clip)))
     assert counts.shape[0] == clip.shape[0] - 1
     assert (counts < 500).all(), (

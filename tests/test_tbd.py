@@ -160,3 +160,34 @@ def test_mot_metrics_perfect_and_misses():
     assert m.fn == 1
     assert 0 < m.mota <= 1.0
     assert m.motp > 0.99
+
+
+def test_tracker_snapshot_roundtrip():
+    """get_tracks/set_tracks (the --history_distribution machinery,
+    samples/gpu/tbd.cpp:685,704): restoring a snapshot must reproduce
+    the same tracking trajectory as never having stepped past it."""
+    from opencv_tpu.tbd import TbdConfig, Tracker
+
+    det = [np.array([[10.0 + 3 * t, 20.0, 12, 20]], np.float32)
+           for t in range(8)]
+    tr = Tracker(TbdConfig())
+    for t in range(4):
+        tr.step(det[t])
+    snap = tr.get_tracks()
+    # advance the live tracker two more steps, then restore
+    tr.step(det[4])
+    tr.step(det[5])
+    boxes_diverged = [t.bbox.copy() for t in tr.tracks]
+    tr.set_tracks(snap)
+    out = tr.step(det[4])
+    # a second tracker that never diverged
+    tr2 = Tracker(TbdConfig())
+    for t in range(4):
+        tr2.step(det[t])
+    out2 = tr2.step(det[4])
+    assert len(tr.tracks) == len(tr2.tracks)
+    for a, b in zip(tr.tracks, tr2.tracks):
+        np.testing.assert_allclose(a.bbox, b.bbox, atol=1e-5)
+    # and reset() empties
+    tr.reset()
+    assert tr.tracks == [] and tr.step(det[0]) == []
