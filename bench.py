@@ -9,8 +9,9 @@ reference pipeline's numbers on this machine — run it once per host):
      frames of the reference's Megamind.avi clip, GFTT re-detection when
      the tracked count drops below 500 — the exact baseline loop.
      2b: the same per-frame workload batched over frame pairs (the
-     TPU-first shape; semantic equivalence proven in
-     tests/test_lk.py::test_config2b_batched_equivalence).
+     TPU-first shape; near-equivalence quantified in
+     tests/test_lk.py::test_config2b_batched_equivalence — at most one
+     interior pair of this clip sits at the re-detect threshold).
   3. Two-view odometry on the pair: E-RANSAC + recoverPose +
      triangulation + PnP-RANSAC.
   4. Sliding-window BA (6 cams x 2048 pts x 12288 obs) LM iterations/s —
@@ -291,9 +292,10 @@ def bench_config2_batched(frames_np):
     every frame + pyramidal LK to the next), restructured as the
     batched-pairs program (ops/lk.py calc_optical_flow_pyr_lk_pairs,
     bitwise-equal to the per-pair chain): valid on this clip because
-    every frame re-detects (survivor count always < the 500 threshold —
-    asserted in tests/test_lk.py::test_config2b_batched_equivalence, NOT
-    re-proven here where it would cost an extra cold compile). Currently
+    ~every frame re-detects (survivor counts vs the 500 threshold are
+    quantified in tests/test_lk.py::test_config2b_batched_equivalence,
+    NOT re-proven here where it would cost an extra cold compile —
+    one interior pair sits at 501 and deviates). Currently
     SLOWER than the sequential scan (see DESIGN.md §2b roofline notes:
     the batched pairs program is HBM-bound at ~10x the sequential
     traffic) — kept measured and reported rather than hidden."""
