@@ -4,7 +4,6 @@ missing #1). Full-size numbers: benchmarks/ate_parity.json (produced by
 benchmarks/ate_parity.py); this test runs the reduced config end-to-end
 and asserts the parity bound."""
 
-import importlib.util
 import os
 
 import numpy as np
@@ -22,26 +21,33 @@ needs_ref_data = pytest.mark.skipif(
 )
 
 
-def _load_ate_parity():
-    spec = importlib.util.spec_from_file_location(
-        "ate_parity", os.path.join(REPO, "benchmarks", "ate_parity.py")
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
-
-
 @needs_ref_data
 def test_forward_sequence_ate_parity():
-    from opencv_tpu.utils.evaluate import ate_rmse
+    """Runs each pipeline in a SUBPROCESS (benchmarks/ate_parity.py
+    --run-one): an in-process engine run here would stack its jitted
+    programs onto the full suite's and risk the XLA:CPU LLVM
+    section-memory exhaustion documented in COVERAGE.md."""
+    import json
+    import subprocess
+    import sys
+    import tempfile
 
-    ap = _load_ate_parity()
-    frames, gt, K = ap.render_forward(240, 320, 90)
-    traj_cv2 = ap.run_cv2_vo(frames, K, n_features=1200)
-    traj_repo, engine = ap.run_repo_vo(frames, K, n_features=1200)
-    assert engine.state == "tracking", "repo engine lost tracking"
-    ate_cv2 = ate_rmse(traj_cv2, gt)
-    ate_repo = ate_rmse(traj_repo, gt)
+    script = os.path.join(REPO, "benchmarks", "ate_parity.py")
+    results = {}
+    for pipe in ("cv2", "repo"):
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as f:
+            tmp = f.name
+        subprocess.run(
+            [sys.executable, script, "--run-one", "forward_dolly", pipe,
+             tmp, "--small"],
+            check=True, timeout=3000,
+        )
+        with open(tmp) as f:
+            results[pipe] = json.load(f)
+        os.unlink(tmp)
+    assert results["repo"]["repo_state"] == "tracking"
+    ate_cv2 = results["cv2"]["ate"]
+    ate_repo = results["repo"]["ate"]
     # the parity bound from VERDICT r3 item 2: repo ATE within 1.25x of
     # the reference pipeline's on the same frames
     assert ate_repo <= 1.25 * ate_cv2, (ate_repo, ate_cv2)
