@@ -558,3 +558,60 @@ def train_cascade_lbp(
         stage_offsets=np.asarray(offs, np.int32),
         stage_thresholds=np.asarray(sthrs, np.float32),
     )
+
+
+# ------------------------------------------------------------ XML export
+
+
+def save_opencv_cascade(model, path: str):
+    """Write a trained Haar CascadeModel as the OpenCV cascade XML (the
+    artifact traincascade emits for CascadeClassifier::load) — round-
+    trippable by ops/cascade.py load_opencv_cascade and by cv2 itself."""
+    import xml.etree.ElementTree as ET
+
+    wh, ww = model.window
+    root = ET.Element("opencv_storage")
+    casc = ET.SubElement(root, "cascade")
+    casc.set("type_id", "opencv-cascade-classifier")
+    ET.SubElement(casc, "stageType").text = "BOOST"
+    ET.SubElement(casc, "featureType").text = "HAAR"
+    ET.SubElement(casc, "height").text = str(wh)
+    ET.SubElement(casc, "width").text = str(ww)
+    sp = ET.SubElement(casc, "stageParams")
+    counts = np.diff(model.stage_offsets)
+    ET.SubElement(sp, "maxWeakCount").text = str(int(counts.max()))
+    fp = ET.SubElement(casc, "featureParams")
+    ET.SubElement(fp, "maxCatCount").text = "0"
+    ET.SubElement(casc, "stageNum").text = str(len(model.stage_thresholds))
+    stages = ET.SubElement(casc, "stages")
+    for s, sthr in enumerate(model.stage_thresholds):
+        st = ET.SubElement(stages, "_")
+        ET.SubElement(st, "maxWeakCount").text = str(int(counts[s]))
+        ET.SubElement(st, "stageThreshold").text = f"{float(sthr):.10e}"
+        wcs = ET.SubElement(st, "weakClassifiers")
+        for k in range(model.stage_offsets[s], model.stage_offsets[s + 1]):
+            wc = ET.SubElement(wcs, "_")
+            ET.SubElement(wc, "internalNodes").text = (
+                f"0 -1 {int(model.feature[k])} "
+                f"{float(model.threshold[k]):.10e}"
+            )
+            ET.SubElement(wc, "leafValues").text = (
+                f"{float(model.left[k]):.10e} {float(model.right[k]):.10e}"
+            )
+    feats = ET.SubElement(casc, "features")
+    for f in range(model.rects.shape[0]):
+        fe = ET.SubElement(feats, "_")
+        rects = ET.SubElement(fe, "rects")
+        for r in range(3):
+            x, y, rw, rh, wt = model.rects[f, r]
+            if wt == 0.0:
+                continue
+            ET.SubElement(rects, "_").text = (
+                f"{int(x)} {int(y)} {int(rw)} {int(rh)} {float(wt):.1f}"
+            )
+        ET.SubElement(fe, "tilted").text = "0"
+    tree = ET.ElementTree(root)
+    ET.indent(tree)
+    with open(path, "wb") as fh:
+        fh.write(b"<?xml version=\"1.0\"?>\n")
+        tree.write(fh)

@@ -119,3 +119,44 @@ def test_trained_lbp_cascade(trained):
     fpr = fa / 150
     assert tpr >= 0.9, tpr
     assert fpr <= 0.35, fpr
+
+
+def test_cascade_xml_roundtrip(trained, tmp_path):
+    """save_opencv_cascade emits the traincascade XML artifact: our own
+    loader round-trips it exactly, and cv2.CascadeClassifier loads it."""
+    from opencv_tpu.ml.traincascade import save_opencv_cascade
+    from opencv_tpu.ops.cascade import load_opencv_cascade
+
+    model, rng = trained
+    path = str(tmp_path / "trained.xml")
+    save_opencv_cascade(model, path)
+
+    back = load_opencv_cascade(path)
+    assert back.window == model.window
+    np.testing.assert_allclose(back.rects, model.rects)
+    np.testing.assert_array_equal(back.feature, model.feature)
+    np.testing.assert_allclose(back.threshold, model.threshold, rtol=1e-6)
+    np.testing.assert_allclose(back.left, model.left, rtol=1e-6)
+    np.testing.assert_allclose(back.right, model.right, rtol=1e-6)
+    np.testing.assert_allclose(back.stage_thresholds,
+                               model.stage_thresholds, rtol=1e-6)
+
+    import cv2
+    if not hasattr(cv2, "CascadeClassifier"):
+        # OpenCV 5 moved cascades out of the main module; the roundtrip
+        # through our own loader above is the format assertion
+        return
+    clf = cv2.CascadeClassifier(path)
+    assert not clf.empty(), "cv2 refused the exported cascade XML"
+    scene = _make_background(rng, 96, 128)
+    obj = _make_object(rng, jitter=0.0)
+    scene[40:40 + WIN[0], 70:70 + WIN[1]] = obj
+    dets = clf.detectMultiScale(
+        np.clip(scene, 0, 255).astype(np.uint8), scaleFactor=1.1,
+        minNeighbors=1,
+    )
+    dets = np.asarray(dets).reshape(-1, 4)
+    assert len(dets), "cv2 found nothing with the exported cascade"
+    centers = dets[:, :2] + dets[:, 2:] / 2
+    target = np.array([70 + WIN[1] / 2, 40 + WIN[0] / 2])
+    assert (np.linalg.norm(centers - target, axis=1) < 12).any(), dets
