@@ -615,3 +615,53 @@ def save_opencv_cascade(model, path: str):
     with open(path, "wb") as fh:
         fh.write(b"<?xml version=\"1.0\"?>\n")
         tree.write(fh)
+
+
+def save_opencv_lbp_cascade(model, path: str):
+    """Write a trained LBPCascadeModel as the OpenCV LBP cascade XML
+    (featureType LBP; internalNodes = [0, -1, featIdx, 8 subset words]),
+    round-trippable by ops/cascade.py load_opencv_lbp_cascade."""
+    import xml.etree.ElementTree as ET
+
+    wh, ww = model.window
+    root = ET.Element("opencv_storage")
+    casc = ET.SubElement(root, "cascade")
+    casc.set("type_id", "opencv-cascade-classifier")
+    ET.SubElement(casc, "stageType").text = "BOOST"
+    ET.SubElement(casc, "featureType").text = "LBP"
+    ET.SubElement(casc, "height").text = str(wh)
+    ET.SubElement(casc, "width").text = str(ww)
+    sp = ET.SubElement(casc, "stageParams")
+    counts = np.diff(model.stage_offsets)
+    ET.SubElement(sp, "maxWeakCount").text = str(int(counts.max()))
+    fp = ET.SubElement(casc, "featureParams")
+    ET.SubElement(fp, "maxCatCount").text = "256"
+    ET.SubElement(casc, "stageNum").text = str(len(model.stage_thresholds))
+    stages = ET.SubElement(casc, "stages")
+    for s, sthr in enumerate(model.stage_thresholds):
+        st = ET.SubElement(stages, "_")
+        ET.SubElement(st, "maxWeakCount").text = str(int(counts[s]))
+        ET.SubElement(st, "stageThreshold").text = f"{float(sthr):.10e}"
+        wcs = ET.SubElement(st, "weakClassifiers")
+        for k in range(model.stage_offsets[s], model.stage_offsets[s + 1]):
+            wc = ET.SubElement(wcs, "_")
+            # subset words are stored as SIGNED int32 in the XML
+            words = " ".join(
+                str(int(np.int32(np.uint32(v)))) for v in model.subsets[k]
+            )
+            ET.SubElement(wc, "internalNodes").text = (
+                f"0 -1 {int(model.feature[k])} {words}"
+            )
+            ET.SubElement(wc, "leafValues").text = (
+                f"{float(model.left[k]):.10e} {float(model.right[k]):.10e}"
+            )
+    feats = ET.SubElement(casc, "features")
+    for f in range(model.rects.shape[0]):
+        fe = ET.SubElement(feats, "_")
+        x, y, rw, rh = (int(v) for v in model.rects[f])
+        ET.SubElement(fe, "rect").text = f"{x} {y} {rw} {rh}"
+    tree = ET.ElementTree(root)
+    ET.indent(tree)
+    with open(path, "wb") as fh:
+        fh.write(b"<?xml version=\"1.0\"?>\n")
+        tree.write(fh)

@@ -160,3 +160,30 @@ def test_cascade_xml_roundtrip(trained, tmp_path):
     centers = dets[:, :2] + dets[:, 2:] / 2
     target = np.array([70 + WIN[1] / 2, 40 + WIN[0] / 2])
     assert (np.linalg.norm(centers - target, axis=1) < 12).any(), dets
+
+
+def test_lbp_cascade_xml_roundtrip(tmp_path):
+    """LBP export round-trips through the framework's LBP loader."""
+    from opencv_tpu.ml.traincascade import (
+        save_opencv_lbp_cascade, train_cascade_lbp,
+    )
+    from opencv_tpu.ops.cascade import load_opencv_lbp_cascade
+
+    rng = np.random.default_rng(9)
+    pos = np.stack([_make_object(rng) for _ in range(150)])
+    negs = [_make_background(rng) for _ in range(15)]
+    model = train_cascade_lbp(
+        pos, negs, window=WIN, n_stages=2, max_weak_per_stage=6,
+        n_neg_per_stage=300, pos_step=3, seed=4,
+    )
+    path = str(tmp_path / "lbp.xml")
+    save_opencv_lbp_cascade(model, path)
+    back = load_opencv_lbp_cascade(path)
+    assert back.window == model.window
+    np.testing.assert_array_equal(back.rects, model.rects)
+    np.testing.assert_array_equal(back.feature, model.feature)
+    np.testing.assert_array_equal(
+        back.subsets.astype(np.uint32), model.subsets.astype(np.uint32)
+    )
+    np.testing.assert_allclose(back.left, model.left, rtol=1e-6)
+    np.testing.assert_allclose(back.right, model.right, rtol=1e-6)
