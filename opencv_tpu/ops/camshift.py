@@ -33,7 +33,11 @@ def calc_hist(channels, bins, ranges, mask=None, density=False):
     """N-dimensional uniform histogram over the given channels
     (imgproc/src/histogram.cpp calcHist semantics). channels: list of
     [H,W] arrays; bins: list of ints; ranges: list of (lo, hi).
-    Returns hist with shape `bins`."""
+    Returns hist with shape `bins`.
+
+    (ops/histogram.calc_hist is the single-channel fast path used by
+    equalize/CLAHE; this is the general N-D masked form back-projection
+    needs.)"""
     flat_idx = jnp.zeros(channels[0].shape, jnp.int32)
     ok = jnp.ones(channels[0].shape, bool)
     stride = 1
