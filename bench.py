@@ -24,6 +24,9 @@ so a driver timeout mid-run still captures the headline. All per-config
 rows stream into benchmarks/bench_results.json as they complete; configs
 that would overrun OPENCV_TPU_BENCH_BUDGET seconds (default 3000) are
 skipped with an explicit marker row instead of timing the whole run out.
+Measured (r4, uncontended host, EMPTY client compile cache): headline at
+t+165 s, full 7-row run ~10 min. CAUTION: concurrent CPU load during
+tracing stretches compiles several-fold — never run the suite alongside.
 
 Roofline fields: every row carries XLA's own cost-model numbers for the
 compiled program (flops / bytes accessed per trip) and the derived
