@@ -327,11 +327,12 @@ def train_cascade(
             mined.append(cand[keep])
             if sum(m.shape[0] for m in mined) >= need:
                 break
-        neg = (
-            np.concatenate(mined)[:need]
-            if mined and sum(m.shape[0] for m in mined)
-            else random_crops(need)
-        )
+        # mirror the LBP variant: when mining comes up dry, STOP rather
+        # than substituting unfiltered random crops — those are easy
+        # negatives the cascade already rejects, and training further
+        # stages against them reports meaningless false-alarm rates
+        # (ADVICE r4)
+        neg = np.concatenate(mined)[:need]
         if neg.shape[0] < max(32, need // 20):
             if verbose:
                 print(f"stage {si}: negatives exhausted "

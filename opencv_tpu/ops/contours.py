@@ -895,17 +895,27 @@ def rotated_rect_intersection(rect1, rect2):
             uniq.append(p)
     pts = np.asarray(uniq, np.float32).reshape(-1, 2)
 
-    def poly_area(poly):
-        s = 0.0
-        for i in range(len(poly)):
-            a, b = poly[i], poly[(i + 1) % len(poly)]
-            s += a[0] * b[1] - b[0] * a[1]
-        return abs(s) / 2
+    # FULL is decided the reference's way (intersection.cpp: after the
+    # clip it tests whether every vertex of one rect lies inside the
+    # other) — NOT by comparing areas, which misclassifies near-degenerate
+    # thin rects at the tolerance boundary (ADVICE r4)
+    scale = max(
+        float(rect1[1][0]), float(rect1[1][1]),
+        float(rect2[1][0]), float(rect2[1][1]), 1.0,
+    )
 
-    ai = poly_area(poly)
-    a1 = float(rect1[1][0]) * float(rect1[1][1])
-    a2 = float(rect2[1][0]) * float(rect2[1][1])
-    if abs(ai - min(a1, a2)) < 1e-6 * max(a1, a2, 1.0):
+    def all_inside(vs, poly_ccw):
+        for p in vs:
+            for i in range(4):
+                a, b = poly_ccw[i], poly_ccw[(i + 1) % 4]
+                cross = (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (
+                    p[0] - a[0]
+                )
+                if cross < -1e-6 * scale * scale:
+                    return False
+        return True
+
+    if all_inside(p1, p2) or all_inside(p2, p1):
         return INTERSECT_FULL, pts
     return INTERSECT_PARTIAL, pts
 

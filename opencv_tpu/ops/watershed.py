@@ -70,13 +70,14 @@ def watershed(img, markers, max_sweeps: int = 4096):
         changed = jnp.any(nl != lab) | jnp.any(nd != dist)
         return nd, nl, changed
 
-    dist, lab, _ = lax.while_loop(
-        lambda s: s[2],
-        lambda s: body(s),
-        (dist0, lab0, jnp.bool_(True)),
+    # max_sweeps caps the relaxation (each sweep propagates labels one
+    # pixel along every direction, so any H x W image has converged by
+    # H + W sweeps; the cap guards adversarial float ties)
+    _, dist, lab, _ = lax.while_loop(
+        lambda s: s[3] & (s[0] < max_sweeps),
+        lambda s: (s[0] + 1, *body(s[1:])),
+        (jnp.int32(0), dist0, lab0, jnp.bool_(True)),
     )
-    # run a bounded number of extra sweeps is unnecessary: the while_loop
-    # exits exactly at the fixed point
 
     # watershed lines: a pixel is a dam if some 4-neighbour belongs to a
     # different basin AND was flooded no later (the reference marks the
