@@ -61,21 +61,32 @@ _PS = lax.Precision.HIGH
 _PS_ITER = lax.Precision.DEFAULT
 
 
-def _interp_weights(local_ctr: jnp.ndarray, win: int, dim: int) -> jnp.ndarray:
+def _interp_weights(
+    local_ctr: jnp.ndarray, win: int, dim: int, dtype=jnp.float32
+) -> jnp.ndarray:
     """Banded bilinear selection matrix.
 
     local_ctr: [N] window-center coordinate (one axis). Returns
     [N, win, dim] where row r holds the two-tap bilinear weights selecting
     position (local_ctr - win//2 + r). Out-of-range rows are all-zero.
+
+    dtype=bfloat16 halves the dominant VPU cost of the Newton loops (the
+    [N, win, dim] weight build is ~70% of a step, r5 measured) at ~0.004
+    px weight-rounding noise — inside iteration precision; the f32
+    polish pass absorbs it. Keep f32 for template/polish weights.
     """
     half = win // 2
     start = local_ctr - half  # [N]
     i0 = jnp.floor(start)
-    f = (start - i0)[:, None, None]  # [N,1,1]
+    f = (start - i0)[:, None, None].astype(dtype)  # [N,1,1]
     rows = i0[:, None] + jnp.arange(win, dtype=jnp.float32)[None, :]  # [N,win]
     d = jnp.arange(dim, dtype=jnp.float32)[None, None, :]  # [1,1,dim]
     rows = rows[:, :, None]  # [N,win,1]
-    return jnp.where(d == rows, 1.0 - f, 0.0) + jnp.where(d == rows + 1.0, f, 0.0)
+    one = jnp.asarray(1.0, dtype)
+    zero = jnp.asarray(0.0, dtype)
+    return jnp.where(d == rows, one - f, zero) + jnp.where(
+        d == rows + 1.0, f, zero
+    )
 
 
 def _sample_windows(img, wy, wx, precision=_PS):
@@ -86,17 +97,21 @@ def _sample_windows(img, wy, wx, precision=_PS):
     return jnp.einsum("nae,nbe->nab", tmp, wx, precision=precision)
 
 
-def _sample_at(img, pts, win, precision=_PS):
-    wy = _interp_weights(pts[:, 1], win, img.shape[0])
-    wx = _interp_weights(pts[:, 0], win, img.shape[1])
+def _sample_at(img, pts, win, precision=_PS, wdtype=jnp.float32):
+    wy = _interp_weights(pts[:, 1], win, img.shape[0], wdtype)
+    wx = _interp_weights(pts[:, 0], win, img.shape[1], wdtype)
+    if wdtype != jnp.float32:
+        img = img.astype(wdtype)
     return _sample_windows(img, wy, wx, precision)
 
 
 _PATCH = 48  # target-patch edge; slack = (P - win)/2 - 1 px per level
 # Newton steps per while_loop trip: the loop body is latency-bound (many
-# small ops), so 3 masked steps per trip cut per-iteration overhead ~3x
-# with IDENTICAL results (converged points are masked no-ops)
-_UNROLL = 3
+# small ops), so masked steps per trip cut per-iteration overhead with
+# IDENTICAL results (converged points are masked no-ops). 5 measured
+# best on the config-2 clip (r5: 233.7 f/s vs 217.3 at 3, 229.7 at 10 —
+# phase 1's 10-iteration budget becomes exactly two trips).
+_UNROLL = 5
 
 
 def _split_hi_lo(img: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -154,20 +169,58 @@ class _Tmpl(NamedTuple):
     ok: jnp.ndarray
 
 
+# Pallas template sampling (ops/pallas/lk_sample.py): the XLA banded
+# template einsum loses its fast lowering 3.3x when the image operand is
+# a scan carry (DESIGN.md §7 — the measured cause of config 2's gap to
+# the 3x target), and its [N, win, H] weight tensors scale with the
+# level. The kernel DMAs one small tile per point instead; auto-selected
+# on TPU for levels big enough that the einsum traffic dominates the
+# per-point DMA latency. OPENCV_TPU_LK_PALLAS=0/1 forces it off/on (A/B).
+_PALLAS_TMPL_MIN_AREA = 90_000
+
+
+def _use_pallas_templates(h: int, w: int, win: int) -> bool:
+    import os
+
+    env = os.environ.get("OPENCV_TPU_LK_PALLAS")
+    if env == "0":
+        return False
+    if win > 23:
+        return False  # kernel tile budget (_T_H) caps the window
+    if env == "1":
+        return True
+    return jax.default_backend() == "tpu" and h * w >= _PALLAS_TMPL_MIN_AREA
+
+
 def _level_templates(
-    prev_img, dx, dy, base_pts, cfg: LKConfig, iter_precision=_PS_ITER
+    prev_img, dx, dy, base_pts, cfg: LKConfig, iter_precision=_PS_ITER,
+    use_pallas: bool | None = None, _pallas_interpret: bool = False,
 ) -> _Tmpl:
     """Shared template phase (both patch and dense iterate paths):
     intensity at HIGH (feeds the final polish), gradients at iteration
-    precision (they only build G and the mismatch projections)."""
+    precision (they only build G and the mismatch projections). On TPU
+    the window sampling runs in the Pallas tile kernel (see
+    _use_pallas_templates above); numerically that path is f32-exact
+    where the einsum path rounds gradients at iteration precision —
+    strictly tighter, parity-tested in tests/test_pallas_lk_sample.py."""
     win = cfg.win_size
     area = float(win * win)
     h, w = prev_img.shape
-    wy_b = _interp_weights(base_pts[:, 1], win, h)
-    wx_b = _interp_weights(base_pts[:, 0], win, w)
-    iw = _sample_windows(prev_img, wy_b, wx_b, _PS)
-    ix = _sample_windows(dx, wy_b, wx_b, iter_precision)
-    iy = _sample_windows(dy, wy_b, wx_b, iter_precision)
+    if use_pallas is None:
+        use_pallas = _use_pallas_templates(h, w, win)
+    if use_pallas:
+        from opencv_tpu.ops.pallas.lk_sample import sample_templates_pallas
+
+        iw, ix, iy = sample_templates_pallas(
+            prev_img, dx, dy, base_pts, win=win,
+            interpret=_pallas_interpret,
+        )
+    else:
+        wy_b = _interp_weights(base_pts[:, 1], win, h)
+        wx_b = _interp_weights(base_pts[:, 0], win, w)
+        iw = _sample_windows(prev_img, wy_b, wx_b, _PS)
+        ix = _sample_windows(dx, wy_b, wx_b, iter_precision)
+        iy = _sample_windows(dy, wy_b, wx_b, iter_precision)
     gxx = jnp.sum(ix * ix, axis=(1, 2))
     gxy = jnp.sum(ix * iy, axis=(1, 2))
     gyy = jnp.sum(iy * iy, axis=(1, 2))
@@ -197,9 +250,19 @@ def _patch_iterate(
     next_img,
     cfg: LKConfig,
     iter_precision=_PS_ITER,
+    use_pallas: bool | None = None,
+    _pallas_interpret: bool = False,
 ):
     """Newton loop + straggler compaction + ONE dense HIGH polish, all
-    J samples from the cached patch (see _track_level_patch docstring)."""
+    J samples from the cached patch (see _track_level_patch docstring).
+    On TPU the polish sample runs in the Pallas tile kernel (f32-exact,
+    same zero convention) — the dense HIGH einsum on the next image is
+    the single most expensive op of a clip-scan pair (r5 measured:
+    1.19 ms of a 4.3 ms pair at levels 0-1)."""
+    if use_pallas is None:
+        use_pallas = _use_pallas_templates(
+            next_img.shape[0], next_img.shape[1], cfg.win_size
+        )
     win = cfg.win_size
     p = _PATCH
     n = guess_pts.shape[0]
@@ -213,10 +276,19 @@ def _patch_iterate(
         return jnp.clip(g_loc, lo_lim, hi_lim)
 
     def sample_j(g_loc, precision, patches=next_patch):
-        wy = _interp_weights(g_loc[:, 1], win, p)
-        wx = _interp_weights(g_loc[:, 0], win, p)
-        tmp = jnp.einsum("nad,nde->nae", wy, patches, precision=precision)
-        return jnp.einsum("nae,nbe->nab", tmp, wx, precision=precision)
+        # bf16 weight build: see _interp_weights dtype note (iteration
+        # precision is bf16 anyway; the polish is f32-exact)
+        wy = _interp_weights(g_loc[:, 1], win, p, jnp.bfloat16)
+        wx = _interp_weights(g_loc[:, 0], win, p, jnp.bfloat16)
+        pb = patches.astype(jnp.bfloat16)
+        tmp = jnp.einsum(
+            "nad,nde->nae", wy, pb, precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        return jnp.einsum(
+            "nae,nbe->nab", tmp.astype(jnp.bfloat16), wx,
+            precision=precision, preferred_element_type=jnp.float32,
+        )
 
     def newton_step(g_loc, precision, sel=None):
         if sel is None:
@@ -307,7 +379,14 @@ def _patch_iterate(
     # J sample, and the residual from the same sample (the residual moves
     # by O(polish step) = sub-eps — cv2's err tolerance class)
     guess = g_loc + joff
-    jw = _sample_at(next_img, guess, win, _PS)
+    if use_pallas:
+        from opencv_tpu.ops.pallas.lk_sample import sample_single_pallas
+
+        jw = sample_single_pallas(
+            next_img, guess, win=win, interpret=_pallas_interpret
+        )
+    else:
+        jw = _sample_at(next_img, guess, win, _PS)
     diff = iw - jw
     d_x = (gyy * jnp.sum(diff * ix, (1, 2))
            - gxy * jnp.sum(diff * iy, (1, 2))) / safe_det
@@ -341,13 +420,34 @@ def _track_level_patch(
     exact full-image semantics for any point that hit the patch clamp.
     """
     h, w = prev_img.shape
-    t = _level_templates(prev_img, dx, dy, base_pts, cfg, iter_precision)
+    use_pallas = _use_pallas_templates(h, w, cfg.win_size)
+    t = _level_templates(
+        prev_img, dx, dy, base_pts, cfg, iter_precision,
+        use_pallas=use_pallas,
+    )
     jy0, jx0, joff = _patch_origin(guess_pts, h, w)
-    next_patch = _extract_patches(
-        next_img.astype(jnp.bfloat16)[None], jy0, jx0, _PATCH
-    )[0]
+    if use_pallas:
+        # integer-origin extraction is frac-0 sampling in the tile
+        # kernel; cast through bf16 to land bit-equal with the XLA
+        # gather path (which reads a bf16 image)
+        from opencv_tpu.ops.pallas.lk_sample import sample_single_pallas
+
+        ctr = (
+            jnp.stack([jx0, jy0], axis=-1).astype(jnp.float32)
+            + jnp.float32(_PATCH // 2)
+        )
+        next_patch = (
+            sample_single_pallas(next_img, ctr, win=_PATCH)
+            .astype(jnp.bfloat16)
+            .astype(jnp.float32)
+        )
+    else:
+        next_patch = _extract_patches(
+            next_img.astype(jnp.bfloat16)[None], jy0, jx0, _PATCH
+        )[0]
     return _patch_iterate(
-        t, next_patch, joff, guess_pts, next_img, cfg, iter_precision
+        t, next_patch, joff, guess_pts, next_img, cfg, iter_precision,
+        use_pallas=use_pallas,
     )
 
 
@@ -366,7 +466,7 @@ def _dense_iterate(
     gxx, gxy, gyy, safe_det, ok = t.gxx, t.gxy, t.gyy, t.safe_det, t.ok
 
     def newton_step(guess, precision):
-        jw = _sample_at(next_img, guess, win, precision)
+        jw = _sample_at(next_img, guess, win, precision, jnp.bfloat16)
         diff = iw - jw  # [N,win,win]
         bx = jnp.sum(diff * ix, axis=(1, 2))
         by = jnp.sum(diff * iy, axis=(1, 2))
@@ -381,7 +481,7 @@ def _dense_iterate(
         if sel is None:
             delta = newton_step(g, iter_precision)
         else:
-            jw = _sample_at(next_img, g, win, iter_precision)
+            jw = _sample_at(next_img, g, win, iter_precision, jnp.bfloat16)
             diff = iw[sel] - jw
             bx = jnp.sum(diff * ix[sel], axis=(1, 2))
             by = jnp.sum(diff * iy[sel], axis=(1, 2))
@@ -491,11 +591,13 @@ def _track_level_dense(
     return _dense_iterate(t, next_img, guess_pts, cfg, iter_precision)
 
 
-# patch-path crossover (measured on v5e, 512 pts): within-patch iteration
-# cost is level-size independent (~25 us/iter) while the dense banded
-# iteration shrinks 4x per pyramid level (~87 us at 528x720), so patches
-# only pay for themselves on large levels
-_PATCH_MIN_AREA = 350 * 350
+# patch-path crossover (re-measured r5 on v5e, 512 pts, IN the clip-scan
+# shape that config 2 runs — the r4 standalone crossover at 350^2 was
+# wrong for scans, where every dense full-image sample pays the
+# scan-operand penalty): patch + Pallas tile kernel wins down to the
+# ~95k-px level (257.0 f/s with levels 0-1 on patches vs 244.7 with
+# level 1 dense vs 243.7 with level 2 also on patches)
+_PATCH_MIN_AREA = 90_000
 
 
 def _track_level(
@@ -637,9 +739,13 @@ def calc_optical_flow_pyr_lk_pairs(
         use_patch = min(lh, lw) >= _PATCH and lh * lw >= _PATCH_MIN_AREA
 
         def phase1(c0, c1):
+            # use_pallas=False: the tile kernel can't be vmapped (one
+            # pallas_call per pair would serialize anyway), and phase 1's
+            # einsum operands are loop-invariant here — the exact case
+            # where the XLA path is already on its fast lowering
             t = jax.vmap(
                 lambda p_im, p_dx, p_dy, b: _level_templates(
-                    p_im, p_dx, p_dy, b, cfg
+                    p_im, p_dx, p_dy, b, cfg, use_pallas=False
                 )
             )(prev_imgs[c0:c1], prev_dx[c0:c1], prev_dy[c0:c1], base[c0:c1])
             if not use_patch:
