@@ -11,8 +11,18 @@ TPU-native design: Hamming distance between 256-bit descriptors becomes a
     a·b = 256 − 2·hamming(a, b)   ⇒   hamming = (256 − a·b) / 2.
 A [N,256]x[256,M] bf16 matmul runs on the 128x128 systolic array at
 speed-of-light — the popcount loop becomes pure MXU work (±1 and sums
-≤ 256 are exact in bf16 inputs with f32 accumulation). k-NN selection is
-`lax.top_k` (replaces the warp-level findBestMatch reductions).
+≤ 256 are exact in bf16 inputs with f32 accumulation).
+
+Two measured lowering traps shape the implementation (v5e, 2048x8192):
+ 1. masking the distance matrix with `jnp.where(valid, dist, BIG)` fuses
+    the mask into the dot's consumer and costs ~24 ms — the same op on a
+    plain array costs 0.07 ms. Fix: fold the validity masks INTO the
+    matmul as two extra ±penalty contraction dims (exact in bf16), so
+    invalid rows/cols come out of the MXU already carrying +2·BIG.
+ 2. `lax.top_k` over the [Nq, Nt] matrix lowers to a ~24 ms TopK custom
+    call. Fix: 2-NN via min/argmin passes over an
+    `optimization_barrier`-materialized matrix (0.2 ms total) — the
+    barrier stops XLA re-fusing the reductions back into the dot.
 """
 
 from __future__ import annotations
@@ -54,7 +64,9 @@ def hamming_matrix(
     t = signed_descriptors(train)
     bits = q.shape[-1]  # 256 for ORB/BRIEF, 512 BRISK, 486 AKAZE MLDB...
     dot = jnp.dot(q, t.T, preferred_element_type=jnp.float32)
-    dist = (bits - dot) * 0.5
+    # barrier: without it the where-masks below fuse into the dot's
+    # consumer and the whole thing runs ~300x slower (module docstring)
+    dist = jax.lax.optimization_barrier((bits - dot) * 0.5)
     big = jnp.float32(2 * bits)
     if query_valid is not None:
         dist = jnp.where(query_valid[:, None], dist, big)
@@ -76,14 +88,41 @@ def knn_match(
     stitching/src/matchers.cpp `BestOf2NearestMatcher`), with cross-check
     as in BFMatcher(crossCheck=true) (features2d/src/matchers.cpp:521).
     Returns one row per query descriptor.
+
+    Implementation: validity masks are folded into the Hamming matmul as
+    two extra ±penalty contraction dims and the 2-NN comes from
+    min/argmin passes over a barrier-materialized distance matrix — the
+    naive where-mask + lax.top_k formulation is ~160x slower on TPU (see
+    module docstring for the measured lowering traps).
     """
     nq = query.shape[0]
-    dist = hamming_matrix(query, train, query_valid, train_valid)  # [Nq, Nt]
+    sq = signed_descriptors(query)
+    st = signed_descriptors(train)
+    bits = sq.shape[-1]
+    big = float(4 * bits)  # exact in bf16 (power-of-two scale)
+    q_cols = [sq]
+    t_cols = [st]
+    if query_valid is not None:
+        # dist[i, :] += 2*big for invalid queries
+        q_cols.append(
+            jnp.where(query_valid, 0.0, -big).astype(jnp.bfloat16)[:, None]
+        )
+        t_cols.append(jnp.ones((train.shape[0], 1), jnp.bfloat16))
+    if train_valid is not None:
+        # dist[:, j] += 2*big for invalid train entries
+        q_cols.append(jnp.ones((nq, 1), jnp.bfloat16))
+        t_cols.append(
+            jnp.where(train_valid, 0.0, -big).astype(jnp.bfloat16)[:, None]
+        )
+    qx = jnp.concatenate(q_cols, axis=1) if len(q_cols) > 1 else sq
+    tx = jnp.concatenate(t_cols, axis=1) if len(t_cols) > 1 else st
+    dot = jnp.dot(qx, tx.T, preferred_element_type=jnp.float32)
+    dist = jax.lax.optimization_barrier((bits - dot) * 0.5)  # [Nq, Nt]
 
-    neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)  # [Nq, 2]
-    d1 = -neg_top2[:, 0]
-    d2 = -neg_top2[:, 1]
-    best = idx_top2[:, 0]
+    best = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    d1 = jnp.min(dist, axis=1)
+    col = jax.lax.broadcasted_iota(jnp.int32, dist.shape, 1)
+    d2 = jnp.min(jnp.where(col == best[:, None], jnp.inf, dist), axis=1)
 
     ok = d1 <= config.max_distance
     ok &= d1 < config.ratio * d2
@@ -95,7 +134,7 @@ def knn_match(
         ok &= best_q_for_t[best] == jnp.arange(nq)
     return Matches(
         query_idx=jnp.arange(nq, dtype=jnp.int32),
-        train_idx=best.astype(jnp.int32),
+        train_idx=best,
         distance=d1,
         valid=ok,
     )

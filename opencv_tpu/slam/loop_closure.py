@@ -19,6 +19,7 @@ this a required new component for the SLAM engine). Pipeline:
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import numpy as np
@@ -35,6 +36,11 @@ from opencv_tpu.optim import pose_graph
 class LoopCandidate(NamedTuple):
     kf_index: int
     n_votes: int
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _optimize_jit(g, iters):
+    return pose_graph.optimize(g, iters=iters)
 
 
 def retrieve_candidates(
@@ -116,33 +122,59 @@ def correct_poses(
     """Build the pose graph (consecutive odometry edges from current
     estimates + one trusted loop edge) and relax it."""
     k = kf_rvecs.shape[0]
-    ei, ej, meas, wts = [], [], [], []
-    for a in range(k - 1):
-        rr, tt = pose_graph.relative_pose(
-            jnp.asarray(kf_rvecs[a]), jnp.asarray(kf_tvecs[a]),
-            jnp.asarray(kf_rvecs[a + 1]), jnp.asarray(kf_tvecs[a + 1]),
-        )
-        ei.append(a)
-        ej.append(a + 1)
-        meas.append(np.concatenate([np.asarray(rr), np.asarray(tt)]))
-        wts.append(1.0)
-    ei.append(loop_i)
-    ej.append(loop_j)
-    meas.append(np.concatenate([np.asarray(loop_rel[0]), np.asarray(loop_rel[1])]))
-    wts.append(loop_weight)
+    # consecutive odometry edges in ONE vmapped call (the per-edge eager
+    # loop costs a device round trip per edge on a remote TPU client)
+    rv = jnp.asarray(kf_rvecs, jnp.float32)
+    tv = jnp.asarray(kf_tvecs, jnp.float32)
+    rr, tt = jax.vmap(pose_graph.relative_pose)(
+        rv[:-1], tv[:-1], rv[1:], tv[1:]
+    )
+    odo_meas = np.concatenate(
+        [np.asarray(rr), np.asarray(tt)], axis=1
+    ).astype(np.float32)
+    ei = np.concatenate([np.arange(k - 1), [loop_i]]).astype(np.int32)
+    ej = np.concatenate([np.arange(1, k), [loop_j]]).astype(np.int32)
+    meas = np.concatenate(
+        [
+            odo_meas,
+            np.concatenate(
+                [np.asarray(loop_rel[0]), np.asarray(loop_rel[1])]
+            ).astype(np.float32)[None],
+        ]
+    )
+    wts = np.concatenate([np.ones(k - 1), [loop_weight]]).astype(np.float32)
     fixed = np.zeros(k, bool)
     fixed[0] = True
+    # pad nodes/edges to buckets of 16 so the solver program shape is
+    # sticky across closures (every distinct shape is another ~10 s
+    # compile-or-load on a remote TPU client). Padding nodes are fixed
+    # and padding edges carry weight 0 — they contribute nothing.
+    kp = ((k + 15) // 16) * 16
+    if kp != k:
+        pad_n = kp - k
+        rv = jnp.concatenate([rv, jnp.zeros((pad_n, 3), jnp.float32)])
+        tv = jnp.concatenate([tv, jnp.zeros((pad_n, 3), jnp.float32)])
+        fixed = np.concatenate([fixed, np.ones(pad_n, bool)])
+    ep = ((len(ei) + 15) // 16) * 16
+    if ep != len(ei):
+        pad_e = ep - len(ei)
+        ei = np.concatenate([ei, np.zeros(pad_e, np.int32)])
+        ej = np.concatenate([ej, np.zeros(pad_e, np.int32)])
+        zero_meas = np.zeros((pad_e, 6), np.float32)
+        meas = np.concatenate([meas, zero_meas])
+        wts = np.concatenate([wts, np.zeros(pad_e, np.float32)])
     g = pose_graph.PoseGraph(
-        rvec=jnp.asarray(kf_rvecs),
-        tvec=jnp.asarray(kf_tvecs),
-        edge_i=jnp.asarray(ei, jnp.int32),
-        edge_j=jnp.asarray(ej, jnp.int32),
-        edge_meas=jnp.asarray(np.stack(meas).astype(np.float32)),
-        edge_weight=jnp.asarray(wts, jnp.float32),
+        rvec=rv,
+        tvec=tv,
+        edge_i=jnp.asarray(ei.astype(np.int32)),
+        edge_j=jnp.asarray(ej.astype(np.int32)),
+        edge_meas=jnp.asarray(meas.astype(np.float32)),
+        edge_weight=jnp.asarray(wts.astype(np.float32)),
         fixed=jnp.asarray(fixed),
     )
-    opt, _ = pose_graph.optimize(g, iters=iters)
-    return np.asarray(opt.rvec), np.asarray(opt.tvec)
+    opt, _ = _optimize_jit(g, iters)
+    out_rv, out_tv = jax.device_get((opt.rvec, opt.tvec))
+    return out_rv[:k], out_tv[:k]
 
 
 def relative_from_world_poses(
