@@ -345,3 +345,83 @@ def warp_perspective(img: jnp.ndarray, m: jnp.ndarray, out_h: int, out_w: int) -
     src_x = (m[0, 0] * xs + m[0, 1] * ys + m[0, 2]) / denom
     src_y = (m[1, 0] * xs + m[1, 1] * ys + m[1, 2]) / denom
     return bilinear_sample(img, jnp.stack([src_x, src_y], axis=-1))
+
+
+def warp_polar(
+    img: jnp.ndarray,
+    dsize: tuple[int, int],
+    center: tuple[float, float],
+    max_radius: float,
+    log: bool = False,
+    inverse: bool = False,
+) -> jnp.ndarray:
+    """cv::warpPolar analog (reference: imgproc/src/imgwarp.cpp:3248).
+
+    Forward: dst[phi, rho] samples src along the ray of angle
+    2*pi*phi/H at radius rho*maxR/W (linear) or exp(rho*ln(maxR)/W)-1
+    (semilog). Inverse maps a polar image back to cartesian. The
+    reference's per-row loops become one [H, W] fused map + remap;
+    out-of-range samples clamp at the border (our remap convention)
+    rather than cv's BORDER_TRANSPARENT.
+    """
+    h, w = dsize
+    cx, cy = center
+    kangle = 2.0 * math.pi / h
+    if not inverse:
+        rho_i = jnp.arange(w, dtype=jnp.float32)
+        if log:
+            kmag = math.log(max(max_radius, 1e-9)) / w
+            rhos = jnp.exp(rho_i * kmag) - 1.0
+        else:
+            rhos = rho_i * (max_radius / w)
+        phi = jnp.arange(h, dtype=jnp.float32) * kangle
+        mx = rhos[None, :] * jnp.cos(phi)[:, None] + cx
+        my = rhos[None, :] * jnp.sin(phi)[:, None] + cy
+        return remap(img, jnp.stack([mx, my], axis=-1))
+    sh, sw = img.shape[-2:]
+    kangle_s = 2.0 * math.pi / sh
+    kmag = (
+        math.log(max(max_radius, 1e-9)) / sw if log else max_radius / sw
+    )
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    dx = xs - cx
+    dy = ys - cy
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    if log:
+        mag = jnp.log(mag + 1.0)
+    ang = jnp.arctan2(dy, dx)
+    ang = jnp.where(ang < 0, ang + 2.0 * math.pi, ang)
+    mx = mag / kmag
+    my = ang / kangle_s
+    return remap(img, jnp.stack([mx, my], axis=-1))
+
+
+def linear_polar(
+    img: jnp.ndarray,
+    center: tuple[float, float],
+    max_radius: float,
+    inverse: bool = False,
+) -> jnp.ndarray:
+    """cv::linearPolar analog (legacy API: dst size == src size)."""
+    return warp_polar(
+        img, img.shape[-2:], center, max_radius, log=False, inverse=inverse
+    )
+
+
+def log_polar(
+    img: jnp.ndarray,
+    center: tuple[float, float],
+    m: float,
+    inverse: bool = False,
+) -> jnp.ndarray:
+    """cv::logPolar analog. `m` is the legacy magnitude-scale parameter;
+    the reference converts it as maxRadius = exp(W / m)
+    (imgwarp.cpp logPolar)."""
+    w = img.shape[-1]
+    max_radius = math.exp(w / m) if m > 0 else 1.0
+    return warp_polar(
+        img, img.shape[-2:], center, max_radius, log=True, inverse=inverse
+    )

@@ -1,4 +1,6 @@
 from opencv_tpu.geometry import (  # noqa: F401
+    affine2d,
+    calibration,
     epipolar,
     homography,
     ippe,

@@ -296,3 +296,191 @@ def calibrate_fisheye(
         tvecs=p[8 + 3 * V :].reshape(V, 3).astype(np.float32),
         rms=rms,
     )
+
+
+# ------------------------------------------------- stereo calibration
+
+
+class StereoCalibrationResult(NamedTuple):
+    R: np.ndarray  # [3,3] rotation cam1 -> cam2
+    T: np.ndarray  # [3] translation cam1 -> cam2
+    E: np.ndarray  # [3,3] essential matrix
+    F: np.ndarray  # [3,3] fundamental matrix
+    rvecs: np.ndarray  # [V,3] per-view cam1 extrinsics
+    tvecs: np.ndarray  # [V,3]
+    rms: float  # RMS reprojection error over both cameras (px)
+
+
+def stereo_calibrate(
+    obj_pts: np.ndarray,  # [V, N, 3] planar target points (z = 0)
+    img_pts1: np.ndarray,  # [V, N, 2] pixels in camera 1
+    img_pts2: np.ndarray,  # [V, N, 2] pixels in camera 2
+    K1: np.ndarray, dist1: np.ndarray,
+    K2: np.ndarray, dist2: np.ndarray,
+    refine_iters: int = 60,
+) -> StereoCalibrationResult:
+    """cv::stereoCalibrate analog with fixed intrinsics (the
+    CALIB_FIX_INTRINSIC mode — intrinsics come from per-camera
+    `calibrate_camera`; reference: calib3d/src/calibration.cpp:2234,
+    impl :1759).
+
+    Jointly estimates the fixed rig transform (R, T): cam2 = R·cam1 + T,
+    plus per-view cam1 extrinsics, by LM over the stacked two-camera
+    reprojection residual — the TPU-first replacement for the
+    reference's CvLevMarq loop with numeric Jacobians (autodiff J, one
+    batched residual over all views·points·cameras).
+
+    Initialization: per-view planar extrinsics for each camera from the
+    undistorted-normalized homography (Zhang), then the chordal mean of
+    the per-view relative rotations (projected back to SO(3)) and the
+    mean relative translation — the same averaging idea as the
+    reference's per-view accumulation (calibration.cpp:1852-1905).
+    """
+    obj_pts = np.asarray(obj_pts, np.float32)
+    V, N, _ = obj_pts.shape
+    K1 = np.asarray(K1, np.float32)
+    K2 = np.asarray(K2, np.float32)
+    dist1 = np.zeros(5, np.float32) if dist1 is None else np.asarray(dist1, np.float32)
+    dist2 = np.zeros(5, np.float32) if dist2 is None else np.asarray(dist2, np.float32)
+
+    def view_extrinsics(img_pts, K, dist):
+        rvs, tvs = [], []
+        norm = np.asarray(
+            undistort_points(jnp.asarray(img_pts), jnp.asarray(K), jnp.asarray(dist))
+        )
+        for v in range(V):
+            H, _ = dlt_homography(
+                jnp.asarray(obj_pts[v, :, :2]), jnp.asarray(norm[v])
+            )
+            rv, tv = _extrinsics_from_h(
+                np.asarray(H, np.float64), np.array([1.0, 1.0, 0.0, 0.0])
+            )
+            rvs.append(rv)
+            tvs.append(tv)
+        return np.stack(rvs), np.stack(tvs)
+
+    rv1, tv1 = view_extrinsics(img_pts1, K1, dist1)
+    rv2, tv2 = view_extrinsics(img_pts2, K2, dist2)
+    # per-view relative pose, chordal-averaged
+    R1s = np.asarray(_np_batch_rodrigues(rv1))
+    R2s = np.asarray(_np_batch_rodrigues(rv2))
+    R_rels = np.einsum("vij,vkj->vik", R2s, R1s)  # R2 R1^T
+    R0 = np.asarray(
+        project_to_rotation(jnp.asarray(R_rels.mean(axis=0), jnp.float32))
+    )
+    T0 = (tv2 - np.einsum("ij,vj->vi", R0, tv1)).mean(axis=0)
+
+    K4_1 = jnp.asarray([K1[0, 0], K1[1, 1], K1[0, 2], K1[1, 2]])
+    K4_2 = jnp.asarray([K2[0, 0], K2[1, 1], K2[0, 2], K2[1, 2]])
+    d1 = jnp.asarray(dist1)
+    d2 = jnp.asarray(dist2)
+    obj_j = jnp.asarray(obj_pts)
+    img1_j = jnp.asarray(img_pts1, jnp.float32)
+    img2_j = jnp.asarray(img_pts2, jnp.float32)
+
+    def residual(params):
+        rel_rv = params[:3]
+        rel_tv = params[3:6]
+        rv = params[6 : 6 + 3 * V].reshape(V, 3)
+        tv = params[6 + 3 * V :].reshape(V, 3)
+        R_rel = rodrigues(rel_rv)
+
+        def one(rv_v, tv_v, obj_v, i1_v, i2_v):
+            p1 = project_points_full(rv_v, tv_v, K4_1, d1, obj_v)
+            R2 = R_rel @ rodrigues(rv_v)
+            t2 = R_rel @ tv_v + rel_tv
+            p2 = project_points_full(rodrigues_inv(R2), t2, K4_2, d2, obj_v)
+            return jnp.concatenate([p1 - i1_v, p2 - i2_v], axis=0)
+
+        return jax.vmap(one)(rv, tv, obj_j, img1_j, img2_j).reshape(-1)
+
+    x0 = jnp.concatenate(
+        [
+            jnp.asarray(rodrigues_inv(jnp.asarray(R0))),
+            jnp.asarray(T0, jnp.float32),
+            jnp.asarray(rv1, jnp.float32).reshape(-1),
+            jnp.asarray(tv1, jnp.float32).reshape(-1),
+        ]
+    )
+    res = levmarq(residual, x0, iters=refine_iters)
+    p = np.asarray(res.params)
+    rms = float(np.sqrt(2.0 * float(res.cost) / (2 * V * N)))
+    R = np.asarray(rodrigues(jnp.asarray(p[:3])), np.float32)
+    T = p[3:6].astype(np.float32)
+    tx = np.array(
+        [[0, -T[2], T[1]], [T[2], 0, -T[0]], [-T[1], T[0], 0]], np.float32
+    )
+    E = tx @ R
+    F = np.linalg.inv(K2).T @ E @ np.linalg.inv(K1)
+    F = F / (F[2, 2] if abs(F[2, 2]) > 1e-12 else 1.0)
+    return StereoCalibrationResult(
+        R=R, T=T, E=E, F=F.astype(np.float32),
+        rvecs=p[6 : 6 + 3 * V].reshape(V, 3).astype(np.float32),
+        tvecs=p[6 + 3 * V :].reshape(V, 3).astype(np.float32),
+        rms=rms,
+    )
+
+
+def _np_batch_rodrigues(rvecs: np.ndarray) -> np.ndarray:
+    return np.asarray(jax.vmap(rodrigues)(jnp.asarray(rvecs, jnp.float32)))
+
+
+# --------------------------------------- undistortion map / whole image
+
+
+def init_undistort_rectify_map(
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    R: jnp.ndarray | None,
+    new_K: jnp.ndarray,
+    size: tuple[int, int],
+) -> jnp.ndarray:
+    """cv::initUndistortRectifyMap analog (reference:
+    imgproc/src/undistort.simd.hpp:60): build the [H, W, 2] (x, y) map
+    that, fed to core.imgproc.remap, produces the undistorted (and
+    optionally rectified) image.
+
+    For every destination pixel (u, v): back-project through new_K,
+    rotate by R^-1 (rectification), apply the distortion model, and
+    project through K. Pure fused VPU math over the pixel grid — the
+    reference's row loop becomes one [H, W] batch.
+    """
+    h, w = size
+    K = jnp.asarray(K, jnp.float32)
+    new_K = jnp.asarray(new_K, jnp.float32)
+    dist = jnp.zeros(5, jnp.float32) if dist is None else jnp.asarray(dist, jnp.float32)
+    ys, xs = jnp.meshgrid(
+        jnp.arange(h, dtype=jnp.float32), jnp.arange(w, dtype=jnp.float32),
+        indexing="ij",
+    )
+    x = (xs - new_K[0, 2]) / new_K[0, 0]
+    y = (ys - new_K[1, 2]) / new_K[1, 1]
+    if R is not None:
+        Rinv = jnp.linalg.inv(jnp.asarray(R, jnp.float32))
+        X = Rinv[0, 0] * x + Rinv[0, 1] * y + Rinv[0, 2]
+        Y = Rinv[1, 0] * x + Rinv[1, 1] * y + Rinv[1, 2]
+        Wc = Rinv[2, 0] * x + Rinv[2, 1] * y + Rinv[2, 2]
+        x = X / Wc
+        y = Y / Wc
+    xd = distort(jnp.stack([x, y], axis=-1), dist)
+    map_x = xd[..., 0] * K[0, 0] + K[0, 2]
+    map_y = xd[..., 1] * K[1, 1] + K[1, 2]
+    return jnp.stack([map_x, map_y], axis=-1)
+
+
+def undistort_image(
+    img: jnp.ndarray,
+    K: jnp.ndarray,
+    dist: jnp.ndarray,
+    new_K: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """cv::undistort analog: whole-image undistortion = the rectify map
+    with R = I composed with bilinear remap (undistort.simd.hpp's
+    public entry is exactly initUndistortRectifyMap + remap)."""
+    from opencv_tpu.core.imgproc import remap
+
+    h, w = img.shape[-2:]
+    m = init_undistort_rectify_map(
+        K, dist, None, K if new_K is None else new_K, (h, w)
+    )
+    return remap(img, m)

@@ -290,3 +290,94 @@ def naive_bayes_predict_log_proba(model: GaussianNB, x: jnp.ndarray) -> jnp.ndar
     )
     logp = ll + model.log_prior[None]
     return logp - jax.nn.logsumexp(logp, axis=1, keepdims=True)
+
+
+# ----------------------------------------------------------------- SVMSGD
+
+
+class SVMSGDModel(NamedTuple):
+    weights: jnp.ndarray  # [D]
+    shift: jnp.ndarray  # scalar; decision f(x) = w.x - shift... see predict
+
+
+def train_svmsgd(
+    x: jnp.ndarray,  # [N, D] f32
+    y: jnp.ndarray,  # [N] labels; >= 0 is the positive class
+    svmsgd_type: str = "asgd",  # "sgd" | "asgd" (averaged, the default)
+    margin_type: str = "soft",  # "soft" | "hard"
+    margin_regularization: float = 1e-5,
+    initial_step_size: float = 0.05,
+    step_decreasing_power: float = 0.75,
+    iters: int = 100_000,
+    seed: int = 0,
+) -> SVMSGDModel:
+    """cv::ml::SVMSGD analog (reference: ml/src/svmsgd.cpp:60).
+
+    Same algorithm, TPU-shaped: samples are mean-centered and scaled by
+    1/mean(|x|) with a homogeneous 1-column appended
+    (makeExtendedTrainSamples, svmsgd.cpp:173); the per-sample SGD loop
+    (svmsgd.cpp:283-305) becomes one `lax.scan` over pre-drawn random
+    indices with the identical update rule — weight decay off the
+    margin, hinge-gradient step on it (updateWeights, :184) — the
+    1/(1+lambda*step0*t)^power step schedule (:289), and the ASGD
+    running average (:295). SOFT_MARGIN shift comes from the learned
+    homogeneous coordinate, HARD_MARGIN from the midpoint of the
+    class-wise minimal margins (calcShift, :203). The reference's
+    eps-based early stop is dropped (data-dependent loop length is
+    hostile to jit; a fixed budget with ASGD averaging converges the
+    same way).
+    """
+    x = jnp.asarray(x, jnp.float32)
+    n, d = x.shape
+    pos = jnp.asarray(y) >= 0
+    resp = jnp.where(pos, 1.0, -1.0)
+    # makeExtendedTrainSamples: center, scale, append homogeneous 1
+    average = jnp.mean(x, axis=0)
+    xc = x - average
+    multiplier = 1.0 / (jnp.mean(jnp.abs(xc)) + 1e-12)
+    ext = jnp.concatenate(
+        [xc * multiplier, jnp.ones((n, 1), jnp.float32)], axis=1
+    )
+    idx = jax.random.randint(jax.random.PRNGKey(seed), (iters,), 0, n)
+    lam = jnp.float32(margin_regularization)
+    step0 = jnp.float32(initial_step_size)
+    power = jnp.float32(step_decreasing_power)
+
+    def body(carry, it_and_i):
+        w, w_avg = carry
+        it, i = it_and_i
+        s = ext[i]
+        r = resp[i]
+        step = step0 * (1.0 + lam * step0 * it.astype(jnp.float32)) ** (-power)
+        on_margin = jnp.dot(s, w) * r <= 1.0
+        w_decay = w * (1.0 - step * lam)
+        w_sv = w - step * lam * w + step * r * s
+        w = jnp.where(on_margin, w_sv, w_decay)
+        t = it.astype(jnp.float32)
+        w_avg = (t / (1.0 + t)) * w_avg + w / (1.0 + t)
+        return (w, w_avg), None
+
+    w0 = jnp.zeros(d + 1, jnp.float32)
+    (w_fin, w_avg), _ = lax.scan(
+        body, (w0, w0), (jnp.arange(iters), idx)
+    )
+    ext_w = w_avg if svmsgd_type == "asgd" else w_fin
+    weights = ext_w[:d] * multiplier
+    if margin_type == "soft":
+        shift = ext_w[d] - jnp.dot(weights, average)
+    else:
+        dots = x @ weights
+        m_pos = jnp.min(jnp.where(pos, dots, jnp.inf))
+        m_neg = jnp.min(jnp.where(pos, jnp.inf, -dots))
+        shift = -(m_pos - m_neg) / 2.0
+    return SVMSGDModel(weights=weights, shift=shift)
+
+
+def svmsgd_decision(model: SVMSGDModel, x: jnp.ndarray) -> jnp.ndarray:
+    """Signed decision value f(x) = w.x + shift (svmsgd.cpp predict)."""
+    return jnp.asarray(x, jnp.float32) @ model.weights + model.shift
+
+
+def svmsgd_predict(model: SVMSGDModel, x: jnp.ndarray) -> jnp.ndarray:
+    """Class labels in {-1, +1} (sign of the decision value)."""
+    return jnp.where(svmsgd_decision(model, x) > 0, 1.0, -1.0)

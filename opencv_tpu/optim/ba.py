@@ -18,7 +18,11 @@ Two Schur solvers:
     [6,3] blocks A_o = Jc_o^T Jp_o with two gathers + two segment-sums
     (memory O(O)). Block-Jacobi (U^-1) preconditioner. This is the path
     that scales to global BA (hundreds of keyframes x 1e5 landmarks) and
-    the one `bundle_adjust` uses by default.
+    the one the sharded solver (parallel/dist_ba.py) builds on.
+
+`bundle_adjust` defaults to solver="auto": dense Schur whenever W fits
+in a modest budget (window-BA scale — measured 185 vs ~1 LM iters/s on
+v5e at 6x2048; see _resolve_solver for why), CG at global scale.
 
 Static-shape discipline: the observation list is a fixed-capacity SoA
 (cam_idx, pt_idx, uv, valid); masked observations contribute zeros.
@@ -280,14 +284,34 @@ def schur_cg_solve(
     return dc, dp
 
 
+def _resolve_solver(solver: str, p: BAProblem) -> str:
+    """'auto' -> 'dense' when the materialized W [C,P,6,3] fits easily
+    (<=128 MB), else 'cg'.
+
+    Measured on v5e at the engine window size (6 cams x 2048 points,
+    12k observations): dense = 185 LM iters/s vs CG = ~1 — the 60-iter
+    matrix-free CG is a chain of ~600 serialized gather/scatter kernels,
+    pure launch latency at this size, while the dense Schur path is ~10
+    large batched einsums (S itself is only [6C,6C]). CG remains the
+    scaling path: its per-iteration psum traffic is what distributes
+    (parallel/dist_ba.py), and W at global scale (100 KFs x 1e5 points)
+    would be hundreds of GB."""
+    if solver != "auto":
+        return solver
+    C = p.cam_rvec.shape[0]
+    P = p.points.shape[0]
+    return "dense" if C * P * 72 <= 128 * 1024 * 1024 else "cg"
+
+
 def ba_step(
     state: BAStepState,
     huber_delta: float | None = None,
-    solver: str = "cg",
+    solver: str = "auto",
     cg_iters: int = 60,
 ) -> BAStepState:
     """One damped LM step with accept/reject (levmarq.cpp:88-197 schedule)."""
     p = state.problem
+    solver = _resolve_solver(solver, p)
     if solver == "cg":
         eqs = normal_equations(p, huber_delta)
         dc, dp = schur_cg_solve(
@@ -321,7 +345,7 @@ def bundle_adjust(
     iters: int = 20,
     lambda0: float = 1e-4,
     huber_delta: float | None = None,
-    solver: str = "cg",
+    solver: str = "auto",
     cg_iters: int = 60,
 ) -> tuple[BAProblem, jnp.ndarray]:
     """Run `iters` LM steps. Returns (optimized problem, final cost)."""

@@ -463,6 +463,7 @@ class VisualOdometry:
         # buckets of 8 so the retrieval program shape is sticky)
         self._map_dev = None
         self._map_dirty = True
+        self._map_version = 0  # bumped on every map mutation
         self._db_desc_dev = None  # [Kcap, N, 8] u32
         self._db_valid_dev = None  # [Kcap, N] bool
         self._db_count = 0
@@ -639,6 +640,7 @@ class VisualOdometry:
         self.lm_valid[slots] = True
         self.lm_anchor[slots] = 0  # world frame == kf0 camera frame
         self._map_dirty = True
+        self._map_version += 1
         kf0.landmark_idx[qi[sel]] = slots
         rvec1 = _np_rodrigues_inv(R)
         kf1 = Keyframe(
@@ -776,6 +778,7 @@ class VisualOdometry:
         # kf1 is about to be appended: its list index is len(keyframes)
         self.lm_anchor[slots] = len(self.keyframes)
         self._map_dirty = True
+        self._map_version += 1
         kf0.landmark_idx[qi[sel[:n]]] = slots
         kf1.landmark_idx[ti[sel[:n]]] = slots
 
@@ -848,6 +851,7 @@ class VisualOdometry:
             kf.tvec = new_tv[ci]
         self.lm_pos[seen] = new_pts[: seen.size]
         self._map_dirty = True
+        self._map_version += 1
 
     # ---------- loop closure & relocalization ----------
 
@@ -962,6 +966,7 @@ class VisualOdometry:
                 "nji,nj->ni", R_new[a], Xc - new_tv[a]
             )
             self._map_dirty = True
+            self._map_version += 1
         # pose history: T_f' = (T_f T_a_old^-1) T_a_new, a = last KF <= f
         kf_fids = np.array([k.frame_id for k in self.keyframes])
         for f in range(len(self.poses)):
@@ -1245,7 +1250,7 @@ class VisualOdometry:
                 continue
             small = jax.device_get({k: dev_out[k] for k in _SMALL_KEYS})
             for f in range(off, chunk):
-                if i >= F or self.state != "tracking":
+                if i >= F:
                     break
                 frame_id = self.frames
                 self.frames += 1
