@@ -272,9 +272,8 @@ def run_repo_vo(frames, K, n_features=2000, enable_loop=True):
             enable_loop_closure=enable_loop,
         ),
     )
-    for f in frames:
-        vo.process(f)
-    return vo.trajectory(), vo
+    traj = vo.process_sequence(np.asarray(frames), chunk=8)
+    return traj, vo
 
 
 # ------------------------------------------------------------------ main
@@ -327,11 +326,13 @@ def run_one(seq, pipeline, small, out_path):
         extra = {
             "repo_state": engine.state,
             "repo_loop_closures": int(getattr(engine, "loop_closures", 0)),
+            "repo_relocalizations": int(getattr(engine, "relocalizations", 0)),
         }
     wall = time.time() - t0
     payload = {
         "seq": seq,
         "pipeline": pipeline,
+        "platform": jax.default_backend(),
         "ate": ate_rmse(traj, gt),
         "wall_s": round(wall, 1),
         "frames": int(frames.shape[0]),
@@ -387,8 +388,10 @@ def main():
             ),
             "wall_s_cv2": parts["cv2"]["wall_s"],
             "wall_s_repo": parts["repo"]["wall_s"],
+            "platform_repo": parts["repo"].get("platform"),
             "repo_state": parts["repo"].get("repo_state"),
             "repo_loop_closures": parts["repo"].get("repo_loop_closures"),
+            "repo_relocalizations": parts["repo"].get("repo_relocalizations"),
         }
         print(json.dumps(row), flush=True)
         rows.append(row)

@@ -137,6 +137,15 @@ class VOConfig:
     min_track_inliers: int = 30
     keyframe_min_inliers: int = 60  # below this tracked count -> new KF
     keyframe_min_baseline: float = 0.12  # relative translation trigger
+    # relative decay trigger (the ORB-SLAM "tracks < 90% of reference
+    # KF" idea): new KF when inliers fall below this fraction of the
+    # best count seen since the last KF. Absolute floors alone fail on
+    # rotation-dominant motion — the map rotates out of view while the
+    # count is still above keyframe_min_inliers, and by the time the
+    # floor fires there is nothing left to triangulate against
+    # (measured on the closed-loop orbit: 650 -> 17 inliers across a
+    # weak-texture wall with zero keyframes created)
+    keyframe_decay_ratio: float = 0.5
     # NOTE on the parallax gates above: at ~1 deg of true parallax both H
     # and E estimates are irrecoverably noise-driven (measured: a wrong
     # H decomposition can carry >90% parallax-filtered support), so the
@@ -456,6 +465,10 @@ class VisualOdometry:
         # pose-graph correction the landmark moves rigidly with its anchor
         self.lm_anchor = np.full((m,), -1, np.int64)
         self._last_loop_kf = -(10 ** 9)
+        self._kf_ref_inl = 0  # best inlier count since the last keyframe
+        # retrieval-vote history per keyframe insertion, for the
+        # continuous-covisibility loop gate (see _try_loop_closure)
+        self._vote_log: list[tuple[int, np.ndarray]] = []
         self.loop_closures = 0  # accepted closures (observability counter)
         self.relocalizations = 0
         # device-resident map cache (re-uploaded only when host mirror
@@ -722,6 +735,7 @@ class VisualOdometry:
         return out["rvec"], out["tvec"], n_inl, lm_idx
 
     def _need_keyframe(self, rvec, tvec, n_inl) -> bool:
+        self._kf_ref_inl = max(self._kf_ref_inl, n_inl)
         kf_last = self.keyframes[-1]
         baseline = np.linalg.norm(
             self._camera_center(rvec, tvec)
@@ -732,6 +746,7 @@ class VisualOdometry:
         ) if self.lm_valid.any() else 1.0
         return (
             n_inl < self.cfg.keyframe_min_inliers
+            or n_inl < self.cfg.keyframe_decay_ratio * self._kf_ref_inl
             or baseline > self.cfg.keyframe_min_baseline * max(scene_depth, 1e-6)
         )
 
@@ -745,6 +760,7 @@ class VisualOdometry:
         self._triangulate_new(kf_last, kf)
         self.keyframes.append(kf)
         self._db_append(kf)
+        self._kf_ref_inl = 0  # re-captured from post-KF tracking
         self._window_ba()
         if self.cfg.enable_loop_closure:
             self._try_loop_closure(len(self.keyframes) - 1)
@@ -871,14 +887,14 @@ class VisualOdometry:
         pos[:n] = self.lm_pos[lm]
         desc[:n] = self.lm_desc[lm]
         val[:n] = True
-        return pos, desc, val, n
+        return pos, desc, val, n, lm
 
-    def _retrieve(self, desc, valid, exclude_recent):
+    def _retrieve(self, desc, valid, exclude_recent, return_votes=False):
         """Vote old keyframes by descriptor matches against the
         device-resident DB (one jitted Hamming matmul + one fetch)."""
         k = len(self.keyframes) - exclude_recent
         if k < 1 or self._db_desc_dev is None:
-            return []
+            return ([], None) if return_votes else []
         votes = np.asarray(
             self._j_retrieve(
                 jnp.asarray(desc), jnp.asarray(valid),
@@ -893,7 +909,7 @@ class VisualOdometry:
                 out.append(
                     loop_closure.LoopCandidate(int(kf), int(votes[kf]))
                 )
-        return out
+        return (out, votes) if return_votes else out
 
     def _verify(self, xy, desc, valid, pos, cdesc, cval, min_inliers, thr):
         """Jitted match+PnP verification against candidate landmarks."""
@@ -920,11 +936,43 @@ class VisualOdometry:
         if len(self.keyframes) <= cfg.loop_exclude_recent + 1:
             return
         kf = self.keyframes[j]
-        cands = self._retrieve(kf.desc, kf.kp_valid, cfg.loop_exclude_recent)
+        cands, votes = self._retrieve(
+            kf.desc, kf.kp_valid, cfg.loop_exclude_recent, return_votes=True
+        )
+        if votes is not None:
+            self._vote_log.append((j, votes))
+        cur_lm = set(kf.landmark_idx[kf.landmark_idx >= 0].tolist())
         for cand in cands:
             i = cand.kf_index
-            pos, desc, val, n = self._candidate_landmarks(i)
+            pos, desc, val, n, lm_ids = self._candidate_landmarks(i)
             if n < cfg.loop_min_inliers:
+                continue
+            # covisibility exclusion (the ORB-SLAM candidate gate): a
+            # keyframe whose local landmarks the query STILL tracks is
+            # not a revisit, it is the same place continuously observed
+            # — closing against it is at best a no-op edge (the
+            # forward-dolly false positive: every KF shares the two
+            # planes' content, so retrieval + PnP both pass). Require
+            # the candidate's local map to be mostly disjoint from the
+            # query's current associations.
+            if cur_lm:
+                overlap = len(cur_lm.intersection(lm_ids.tolist())) / len(cur_lm)
+                if overlap > 0.2:
+                    continue
+            # continuous-covisibility gate: a TRUE revisit has a vote
+            # GAP — the candidate region left view and came back. If
+            # every intermediate retrieval since the candidate's
+            # insertion kept voting for it, the "loop" is just the
+            # same place observed continuously (the forward-dolly false
+            # positive: gap-9 closures with persistently high votes,
+            # vs the orbit's genuine gap-38 closure whose candidate
+            # polled ~zero votes mid-sequence).
+            hist = [
+                v[i] for (jj, v) in self._vote_log[:-1]
+                if jj > i and i < len(v)
+            ]
+            recent = hist[-6:]
+            if len(recent) >= 2 and min(recent) >= 0.5 * cfg.loop_min_votes:
                 continue
             out = self._verify(
                 kf.kp_xy, kf.desc, kf.kp_valid, pos, desc, val,
@@ -986,7 +1034,7 @@ class VisualOdometry:
         against each candidate's local landmarks."""
         cands = self._retrieve(desc, valid, 0)
         for cand in cands:
-            pos, cdesc, val, n = self._candidate_landmarks(cand.kf_index)
+            pos, cdesc, val, n, _ = self._candidate_landmarks(cand.kf_index)
             if n < self.cfg.min_track_inliers:
                 continue
             out = self._verify(
@@ -1003,6 +1051,24 @@ class VisualOdometry:
     @staticmethod
     def _camera_center(rvec, tvec):
         return -_np_rodrigues(rvec).T @ tvec
+
+    def _extrapolate_pose(self):
+        """Constant-velocity pose prediction from the last two frames —
+        the reference TBD tracker's motion-model idea (tbd.cpp:288)
+        applied to the camera during tracking loss. On rotation-dominant
+        motion a frozen hold parks the trajectory while the true camera
+        keeps turning; propagating the last relative transform keeps the
+        error linear in the outage length instead."""
+        if len(self.poses) < 2:
+            return self.poses[-1]
+        (rv1, tv1), (rv2, tv2) = self.poses[-2], self.poses[-1]
+        R1 = _np_rodrigues(rv1)
+        R2 = _np_rodrigues(rv2)
+        R_rel = R2 @ R1.T
+        t_rel = tv2 - R_rel @ tv1
+        Rp = R_rel @ R2
+        tp = R_rel @ tv2 + t_rel
+        return _np_rodrigues_inv(Rp), tp.astype(np.float32)
 
     def process(self, img: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
         """Process one grayscale frame; returns (rvec, tvec) world->cam."""
@@ -1120,7 +1186,7 @@ class VisualOdometry:
             # falling back to holding the last pose
             rel = self._relocalize(xy, desc, valid) if self.cfg.relocalize else None
             if rel is None:
-                self.poses.append(self.poses[-1])
+                self.poses.append(self._extrapolate_pose())
                 return self.poses[-1]
             self.poses.append(rel)
             return rel
@@ -1265,7 +1331,9 @@ class VisualOdometry:
                         if self.cfg.relocalize
                         else None
                     )
-                    self.poses.append(rel if rel is not None else self.poses[-1])
+                    self.poses.append(
+                        rel if rel is not None else self._extrapolate_pose()
+                    )
                     i += 1
                     continue
                 rvec, tvec, n_inl, lm_idx = out
@@ -1279,6 +1347,17 @@ class VisualOdometry:
                         big["xy"], big["desc"], big["kvalid"],
                         lm_idx, n_inl, force=True,
                     )
+                    i += 1
+                    if n_inl < self.cfg.keyframe_min_inliers:
+                        # inlier-triggered keyframe: tracking quality is
+                        # degrading (rotation turning landmarks out of
+                        # view) and the frames behind it in this chunk
+                        # NEED the just-triangulated landmarks. Restart
+                        # the chunk on the fresh map. Baseline-triggered
+                        # keyframes keep the stale-accept fast path (the
+                        # old map still tracks fine there).
+                        break
+                    continue
                 i += 1
             self._prev_img = frames[min(i, F) - 1]
             self._prev_img_dev = None
