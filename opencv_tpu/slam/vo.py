@@ -969,10 +969,16 @@ class VisualOdometry:
             # polled ~zero votes mid-sequence).
             hist = [
                 v[i] for (jj, v) in self._vote_log[:-1]
-                if jj > i and i < len(v)
+                # only retrievals where candidate i was LIVE (inside the
+                # voting window) count — masked-out entries are zero by
+                # construction, not evidence the region left view
+                if jj >= i + cfg.loop_exclude_recent and i < len(v)
             ]
             recent = hist[-6:]
-            if len(recent) >= 2 and min(recent) >= 0.5 * cfg.loop_min_votes:
+            if len(recent) < 2 or min(recent) >= 0.5 * cfg.loop_min_votes:
+                # either no gap evidence yet (a closure needs at least
+                # two intermediate retrievals to demonstrate the region
+                # LEFT view) or the votes never dropped — skip
                 continue
             out = self._verify(
                 kf.kp_xy, kf.desc, kf.kp_valid, pos, desc, val,
