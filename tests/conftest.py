@@ -74,6 +74,7 @@ def pytest_configure(config):
     config.addinivalue_line(
         "markers",
         "slow: multi-minute end-to-end runs (engine sequences, renders, "
-        "2-process tests). Fast lane: pytest -m 'not slow' (~20 min on "
-        "the 2-vCPU host); full suite (CI/driver): pytest tests/.",
+        "2-process tests). Fast lane: pytest -m 'not slow' (measured "
+        "24m12s / 416 tests round 5 on the 2-vCPU host); full suite "
+        "(CI/driver): pytest tests/.",
     )
